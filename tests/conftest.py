@@ -9,7 +9,13 @@ import os
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# The session env pins JAX_PLATFORMS=axon (TPU) and the plugin ignores the
+# env override — force CPU through the config before the backend initialises.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

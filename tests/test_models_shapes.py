@@ -1,0 +1,119 @@
+"""Model construction + forward shape smoke tests (CPU, tiny inputs)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vfidkr_tpu.models import (
+    DAIN,
+    DAINSlowMotion,
+    MegaDepthHourglass,
+    MonoNet5,
+    OccNet,
+    PWCDCNet,
+    build_model,
+    multiple_basic_block_4,
+    s2df_3dense,
+)
+
+
+def test_mononet5_shapes(rng):
+    x = jnp.asarray(rng.rand(1, 64, 96, 6), jnp.float32)
+    m = MonoNet5()
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 64, 96, 16)
+
+
+def test_s2df_shapes(rng):
+    x = jnp.asarray(rng.rand(1, 32, 48, 3), jnp.float32)
+    m = s2df_3dense()
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 32, 48, 195)   # 3 + 3*64
+
+
+def test_rectifier_shapes(rng):
+    x = jnp.asarray(rng.rand(1, 16, 16, 45), jnp.float32)
+    m = multiple_basic_block_4(128)
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(params, x).shape == (1, 16, 16, 3)
+
+
+def test_pwcnet_shapes(rng):
+    i0 = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)
+    i2 = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)
+    m = PWCDCNet()
+    params = m.init(jax.random.PRNGKey(0), i0, i2)
+    flow = m.apply(params, i0, i2)
+    assert flow.shape == (1, 16, 32, 2)   # 1/4 resolution
+    flows = m.apply(params, i0, i2, output_more=True)
+    assert [f.shape[1] for f in flows] == [16, 8, 4, 2, 1]
+
+
+def test_occnet_shapes(rng):
+    x = jnp.asarray(rng.rand(1, 64, 64, 6), jnp.float32)
+    m = OccNet()
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 64, 64, 1)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_megadepth_shapes(rng):
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    m = MegaDepthHourglass()
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x)
+    assert out.shape == (1, 64, 64, 1)
+    assert "batch_stats" in variables
+
+
+def test_dain_forward(rng):
+    i0 = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)
+    i2 = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)
+    m = build_model("DAIN")
+    params = m.init(jax.random.PRNGKey(0), i0, i2)
+    res = m.apply(params, i0, i2)
+    out, rect = res["outputs"]
+    assert out.shape == (1, 64, 128, 3)
+    assert rect.shape == (1, 64, 128, 3)
+    assert res["offsets"][0].shape == (1, 64, 128, 2)
+    assert res["filters"][0].shape == (1, 64, 128, 16)
+    # vestigial nets' params exist for checkpoint interop
+    assert "occ_net" in params["params"]
+    assert "deconv_field" in params["params"]
+    assert "ctx_net" in params["params"]
+
+
+def test_dain_train_grads(rng):
+    i0 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    i1 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    i2 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    m = DAIN()
+    params = m.init(jax.random.PRNGKey(0), i0, i2, train=True)
+
+    def loss_fn(p):
+        res = m.apply(p, i0, i2, train=True)
+        return sum(jnp.mean(jnp.abs(o - i1)) for o in res["outputs"])
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # flow net must receive gradient through projection + filter interp
+    gsum = sum(float(jnp.abs(l).sum())
+               for l in jax.tree_util.tree_leaves(grads["params"]["flownets"]))
+    assert gsum > 0
+
+
+@pytest.mark.slow
+def test_dain_slowmotion_forward(rng):
+    i0 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    i2 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    m = DAINSlowMotion(timestep=0.25)
+    variables = m.init(jax.random.PRNGKey(0), i0, i2)
+    res = m.apply(variables, i0, i2)
+    outs, rects = res["outputs"]
+    assert len(outs) == 3 and len(rects) == 3   # 1/0.25 - 1 frames
+    assert outs[0].shape == (1, 64, 64, 3)

@@ -1,0 +1,199 @@
+"""Top-level VFIDKR models — flax re-designs of ``networks/DAIN.py:23-294``
+(active paper model, t=0.5) and ``networks/DAIN_slowmotion.py:16-202``
+(full original-DAIN pipeline with depth + context at arbitrary time_step).
+
+Pipeline (DAIN.forward, :101-294):
+  1. kernel prediction: MonoNet5 trunk on concat(I0,I2) + two branch heads
+     -> per-pixel 4x4 kernels for each direction (:185-188);
+  2. bidirectional flow: two PWC-Net passes with swapped concat order, each
+     scaled by div_flow(20) * t and bilinearly x4-upsampled (:194-202,296-311);
+  3. flow projection onto target time (FlowProjection; hole-filled at
+     inference only) (:215-220);
+  4. FilterInterpolation of both frames, averaged (:238,560-573);
+  5. residual rectification on the 45-ch concat
+     [out, ref0, ref2, off0, off1, filt0, filt1] (:264-271).
+
+DAIN_slowmotion differences (:127-183): MegaDepth log-depth drives
+DepthFlowProjection; S2DF context (195 ch) + detached log-depth (1 ch) are
+warped per time step with detached flow/kernels; fusion is time-weighted
+``ref0*(1-t) + ref2*t``; rectifier input is 437 ch.
+
+The reference constructs OccNet / DeconvField / (in DAIN) ctxNet without
+calling them (:44-50) — their parameters exist in checkpoints, so they are
+instantiated here too for checkpoint interop; ``mutable=False`` keeps them
+free at runtime (flax only executes called submodules, but setup-declared
+modules still appear in the param tree via their first call — we call them
+lazily under ``init_unused``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vfidkr_tpu.models.layers import upsample_bilinear
+from vfidkr_tpu.models.megadepth import MegaDepthHourglass, depth_inv_from_log_depth
+from vfidkr_tpu.models.mononet import BranchHead, DeconvField, MonoNet5, OccNet
+from vfidkr_tpu.models.pwcnet import PWCDCNet
+from vfidkr_tpu.models.resblock import MultipleBasicBlock
+from vfidkr_tpu.models.s2df import S2DF
+from vfidkr_tpu.ops import depth_flow_project, filter_interpolate, flow_project
+
+
+class DAIN(nn.Module):
+    """Active paper model. t is asserted to 0.5 in the reference (:36)."""
+    channel: int = 3
+    filter_size: int = 4
+    timestep: float = 0.5
+    init_unused: bool = True   # instantiate OccNet/DeconvField/ctxNet params
+
+    def setup(self):
+        assert self.timestep == 0.5, "DAIN supports t=0.5 only (DAIN.py:36)"
+        fs2 = self.filter_size ** 2
+        self.filter_net = MonoNet5()
+        self.filter_head1 = BranchHead(fs2)
+        self.filter_head2 = BranchHead(fs2)
+        self.rectify_net = MultipleBasicBlock(4, 128)
+        self.flownets = PWCDCNet()
+        self.div_flow = 20.0
+        if self.init_unused:
+            self.occ_net = OccNet()
+            self.deconv_field = DeconvField(2 * fs2)
+            self.ctx_net = S2DF(3, True, True)
+
+    def _touch_unused(self, i0):
+        # Materialise vestigial parameter trees during init only (checkpoint
+        # interop with reference ablation weights); zero runtime cost.
+        if self.init_unused and self.is_initializing():
+            self.occ_net(jnp.concatenate([i0, i0], axis=-1))
+            self.deconv_field(i0)
+            self.ctx_net(i0)
+
+    def _bidirectional_flow(self, i0, i2, time_offsets):
+        """forward_flownets (:296-311) for both directions."""
+        flows_fwd, flows_bwd = [], []
+        raw_fwd = self.flownets(i0, i2)
+        raw_bwd = self.flownets(i2, i0)
+        for t in time_offsets:
+            flows_fwd.append(upsample_bilinear(raw_fwd * (self.div_flow * t), 4))
+        for t in time_offsets[::-1]:
+            flows_bwd.append(upsample_bilinear(raw_bwd * (self.div_flow * t), 4))
+        return flows_fwd, flows_bwd
+
+    def __call__(self, i0, i2, train: bool = False):
+        """i0, i2: (B,H,W,3) with H,W divisible by 128 (reference pads eval
+        inputs to 128 multiples, demo_MiddleBury.py:294-312; U-Net needs /32,
+        PWC-Net /64).
+
+        Returns dict with cur_output, rectified, offsets, filters.
+        """
+        self._touch_unused(i0)
+        cat = jnp.concatenate([i0, i2], axis=-1)
+
+        trunk = self.filter_net(cat)
+        filt0 = self.filter_head1(trunk)
+        filt1 = self.filter_head2(trunk)
+
+        (f01,), (f10,) = self._bidirectional_flow(i0, i2, [self.timestep])
+
+        hole_fill = not train   # FlowProjectionLayer.py:23
+        off0 = flow_project(f01, hole_fill=hole_fill)
+        off1 = flow_project(f10, hole_fill=hole_fill)
+
+        ref0 = filter_interpolate(i0, off0, filt0, self.filter_size)
+        ref2 = filter_interpolate(i2, off1, filt1, self.filter_size)
+        cur_output = ref0 / 2.0 + ref2 / 2.0
+
+        rectify_input = jnp.concatenate(
+            [cur_output, ref0, ref2, off0, off1, filt0, filt1], axis=-1)
+        rectified = self.rectify_net(rectify_input) + cur_output
+
+        return {
+            "outputs": [cur_output, rectified],
+            "offsets": [off0, off1],
+            "filters": [filt0, filt1],
+        }
+
+
+class DAINSlowMotion(nn.Module):
+    """DAIN_slowmotion: depth-aware projection + warped context, N = 1/t - 1
+    intermediate frames (networks/DAIN_slowmotion.py)."""
+    channel: int = 3
+    filter_size: int = 4
+    timestep: float = 0.5
+    train_bn: bool = False
+
+    def setup(self):
+        fs2 = self.filter_size ** 2
+        self.num_frames = int(round(1.0 / self.timestep)) - 1
+        self.filter_net = MonoNet5()
+        self.filter_head1 = BranchHead(fs2)
+        self.filter_head2 = BranchHead(fs2)
+        self.ctx_net = S2DF(3, True, True)
+        self.depth_net = MegaDepthHourglass(train_bn=self.train_bn)
+        # 3*3 + 2*1 + 2*2 + 2*16 + 2*196 = 437 input channels (:38)
+        self.rectify_net = MultipleBasicBlock(4, 128)
+        self.flownets = PWCDCNet()
+        self.div_flow = 20.0
+
+    def __call__(self, i0, i2, train: bool = False):
+        time_offsets = [k * self.timestep for k in range(1, 1 + self.num_frames)]
+
+        log_depth = self.depth_net(jnp.concatenate([i0, i2], axis=0))
+        b = i0.shape[0]
+        log_d0, log_d2 = log_depth[:b], log_depth[b:]
+        depth_inv0 = depth_inv_from_log_depth(log_d0)[..., 0]
+        depth_inv2 = depth_inv_from_log_depth(log_d2)[..., 0]
+
+        ctx0 = jnp.concatenate(
+            [self.ctx_net(i0), jax.lax.stop_gradient(log_d0)], axis=-1)
+        ctx2 = jnp.concatenate(
+            [self.ctx_net(i2), jax.lax.stop_gradient(log_d2)], axis=-1)
+
+        cat = jnp.concatenate([i0, i2], axis=-1)
+        trunk = self.filter_net(cat)
+        filt0 = self.filter_head1(trunk)
+        filt1 = self.filter_head2(trunk)
+
+        raw_fwd = self.flownets(i0, i2)
+        raw_bwd = self.flownets(i2, i0)
+        hole_fill = not train
+
+        outputs, rectified_outputs, offsets = [], [], []
+        for k, t in enumerate(time_offsets):
+            f01 = upsample_bilinear(raw_fwd * (self.div_flow * t), 4)
+            t_rev = time_offsets[::-1][k]
+            f10 = upsample_bilinear(raw_bwd * (self.div_flow * t_rev), 4)
+
+            off0 = depth_flow_project(f01, depth_inv0, hole_fill=hole_fill)
+            off1 = depth_flow_project(f10, depth_inv2, hole_fill=hole_fill)
+
+            # context warp with detached flow/kernels (:311-321)
+            ctx0_w = filter_interpolate(
+                ctx0, jax.lax.stop_gradient(off0),
+                jax.lax.stop_gradient(filt0), self.filter_size)
+            ctx2_w = filter_interpolate(
+                ctx2, jax.lax.stop_gradient(off1),
+                jax.lax.stop_gradient(filt1), self.filter_size)
+
+            ref0 = filter_interpolate(i0, off0, filt0, self.filter_size)
+            ref2 = filter_interpolate(i2, off1, filt1, self.filter_size)
+            out = ref0 * (1.0 - t) + ref2 * t    # time-weighted fusion (:335)
+
+            rectify_input = jnp.concatenate(
+                [out, ref0, ref2, off0, off1, filt0, filt1, ctx0_w, ctx2_w],
+                axis=-1)
+            rect = self.rectify_net(rectify_input) + out
+
+            outputs.append(out)
+            rectified_outputs.append(rect)
+            offsets.append([off0, off1])
+
+        return {
+            "outputs": [outputs, rectified_outputs],
+            "offsets": offsets[-1],
+            "filters": [filt0, filt1],
+        }

@@ -1,0 +1,161 @@
+"""Layer primitives with exact torch semantics, NHWC, flax.linen.
+
+The reference stacks plain ``nn.Conv2d``/``nn.ConvTranspose2d``/pool/upsample
+layers (PWCNet/PWCNet.py:27-37, networks/DAIN.py:576-711).  XLA's ``SAME``
+padding is asymmetric for strided convs, so every conv here uses explicit
+torch-style symmetric padding; the transposed conv reproduces torch's
+``ConvTranspose2d(k, s, p)`` as a fractionally-strided conv with flipped
+kernels and ``k-1-p`` padding.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# torch nn.init.kaiming_normal_(mode='fan_in') default gain (leaky_relu, a=0)
+kaiming_normal_fan_in = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
+
+
+def kaiming_normal_torch(key, shape, dtype=jnp.float32):
+    """torch kaiming_normal_(mode='fan_in'): N(0, sqrt(2/fan_in)), HWIO shape."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    std = (2.0 / fan_in) ** 0.5
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def xavier_uniform_torch(key, shape, dtype=jnp.float32):
+    """torch nn.init.xavier_uniform_ on an HWIO conv kernel."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    fan_out = shape[0] * shape[1] * shape[3]
+    a = (6.0 / (fan_in + fan_out)) ** 0.5
+    return jax.random.uniform(key, shape, dtype, -a, a)
+
+
+def msra_normal_torch(key, shape, dtype=jnp.float32):
+    """normal(0, sqrt(2/n)) with n = k*k*out_channels — the hand-rolled init
+    of S2DF.py:116-119 and Resblock/BasicBlock.py:24-27."""
+    n = shape[0] * shape[1] * shape[3]
+    std = (2.0 / n) ** 0.5
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class Conv(nn.Module):
+    """nn.Conv2d equivalent: explicit symmetric padding, optional dilation."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = xavier_uniform_torch
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        return nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=nn.initializers.zeros,
+        )(x)
+
+
+class ConvTranspose(nn.Module):
+    """torch nn.ConvTranspose2d(k, s, p) equivalent (PWCNet deconv: k=4,s=2,p=1).
+
+    Implemented as conv_general_dilated with lhs_dilation=s, padding k-1-p and
+    spatially-flipped kernels, which is exactly torch's transposed conv.
+    Kernel param stored HWIO with I=in features (torch stores (in,out,k,k);
+    the converter transposes accordingly).
+    """
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = xavier_uniform_torch
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, in_ch, self.features))
+        flipped = kernel[::-1, ::-1]
+        pad = k - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x, flipped,
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+def max_pool_2x2(x):
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def avg_pool_2x2(x):
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def leaky_relu(x, negative_slope=0.1):
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def upsample_bilinear(x, factor: int):
+    """nn.Upsample(scale_factor=f, mode='bilinear', align_corners=False).
+
+    jax.image.resize('linear') uses half-pixel centers == align_corners=False.
+    """
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * factor, w * factor, c), method="linear")
+
+
+def upsample_bilinear_align_corners(x, factor: int):
+    """nn.Upsample(..., align_corners=True) — used only by the (vestigial)
+    OccNet path (networks/DAIN.py:682,706)."""
+    b, h, w, c = x.shape
+    ho, wo = h * factor, w * factor
+
+    def coords(n_out, n_in):
+        if n_out == 1:
+            return jnp.zeros((n_out,), jnp.float32)
+        return jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+
+    gy = coords(ho, h)
+    gx = coords(wo, w)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (gy - y0)[None, :, None, None]
+    wx = (gx - x0)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def upsample_nearest(x, factor: int):
+    """nn.UpsamplingNearest2d (MegaDepth hourglass)."""
+    b, h, w, c = x.shape
+    return jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)
+
+
+def replication_pad(x, pads: Tuple[int, int, int, int]):
+    """nn.ReplicationPad2d((left, right, top, bottom)) on NHWC."""
+    l, r, t, b = pads
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="edge")

@@ -1,0 +1,154 @@
+"""PWC-DC optical-flow network (Sun et al. 2018) — flax re-design of
+``PWCNet/PWCNet.py:41-335`` (the active ``PWCDCNet`` class).
+
+Architecture (all numbers per reference):
+- 6-level siamese conv pyramid 16/32/64/96/128/196 ch, each level
+  ``conv(s=2) -> conv -> conv`` with LeakyReLU(0.1) (:53-70);
+- per level from coarse to fine: cost volume (81 ch, md=4) over the
+  (warped) other-image features -> LeakyReLU -> DenseNet block of 5 convs
+  (128/128/96/64/32 with concat growth) -> 2-ch flow prediction -> 4x4/s2
+  deconv upsampling of flow and of a 2-ch feature projection (:80-127);
+- the coarser flow warps the other image's features with level-specific
+  scaling x0.625/1.25/2.5/5.0 (:244,266,282,299);
+- a 7-conv dilated context network refines the finest flow (:128-134,315-320);
+- output flow2 is at **1/4 input resolution** (:322).
+
+Init: kaiming-normal fan_in on every conv/deconv, zero bias (:136-140).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vfidkr_tpu.models.layers import (
+    Conv,
+    ConvTranspose,
+    kaiming_normal_torch,
+    leaky_relu,
+)
+from vfidkr_tpu.ops import correlation_cost_volume, pwc_warp
+
+
+class ConvLReLU(nn.Module):
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.features, self.kernel_size, self.stride, self.padding,
+                 self.dilation, kernel_init=kaiming_normal_torch, name="conv")(x)
+        return leaky_relu(x, 0.1)
+
+
+class PredictFlow(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return Conv(2, 3, 1, 1, kernel_init=kaiming_normal_torch, name="conv")(x)
+
+
+class Deconv(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return ConvTranspose(self.features, 4, 2, 1,
+                             kernel_init=kaiming_normal_torch, name="deconv")(x)
+
+
+class PWCDCNet(nn.Module):
+    """Input: two (B,H,W,3) frames; output: flow at (B,H/4,W/4,2), scaled by
+    1/20 of true pixel flow (callers multiply by div_flow=20)."""
+    md: int = 4
+
+    def setup(self):
+        cl = ConvLReLU
+        self.conv1a, self.conv1aa, self.conv1b = cl(16, stride=2), cl(16), cl(16)
+        self.conv2a, self.conv2aa, self.conv2b = cl(32, stride=2), cl(32), cl(32)
+        self.conv3a, self.conv3aa, self.conv3b = cl(64, stride=2), cl(64), cl(64)
+        self.conv4a, self.conv4aa, self.conv4b = cl(96, stride=2), cl(96), cl(96)
+        self.conv5a, self.conv5aa, self.conv5b = cl(128, stride=2), cl(128), cl(128)
+        self.conv6aa, self.conv6a, self.conv6b = cl(196, stride=2), cl(196), cl(196)
+
+        for lvl in (6, 5, 4, 3, 2):
+            setattr(self, f"conv{lvl}_0", cl(128))
+            setattr(self, f"conv{lvl}_1", cl(128))
+            setattr(self, f"conv{lvl}_2", cl(96))
+            setattr(self, f"conv{lvl}_3", cl(64))
+            setattr(self, f"conv{lvl}_4", cl(32))
+            setattr(self, f"predict_flow{lvl}", PredictFlow())
+            setattr(self, f"deconv{lvl}", Deconv(2))
+            if lvl > 2:
+                setattr(self, f"upfeat{lvl}", Deconv(2))
+
+        self.dc_conv1 = cl(128, dilation=1, padding=1)
+        self.dc_conv2 = cl(128, dilation=2, padding=2)
+        self.dc_conv3 = cl(128, dilation=4, padding=4)
+        self.dc_conv4 = cl(96, dilation=8, padding=8)
+        self.dc_conv5 = cl(64, dilation=16, padding=16)
+        self.dc_conv6 = cl(32, dilation=1, padding=1)
+        self.dc_conv7 = PredictFlow()
+
+    def _pyramid(self, im):
+        c1 = self.conv1b(self.conv1aa(self.conv1a(im)))
+        c2 = self.conv2b(self.conv2aa(self.conv2a(c1)))
+        c3 = self.conv3b(self.conv3aa(self.conv3a(c2)))
+        c4 = self.conv4b(self.conv4aa(self.conv4a(c3)))
+        c5 = self.conv5b(self.conv5aa(self.conv5a(c4)))
+        c6 = self.conv6b(self.conv6a(self.conv6aa(c5)))
+        return c1, c2, c3, c4, c5, c6
+
+    def _corr(self, a, b):
+        return leaky_relu(correlation_cost_volume(a, b, self.md), 0.1)
+
+    def _dense(self, lvl, x):
+        for i in range(5):
+            x = jnp.concatenate([getattr(self, f"conv{lvl}_{i}")(x), x], axis=-1)
+        return x
+
+    def __call__(self, im1, im2, output_more: bool = False):
+        c11, c12, c13, c14, c15, c16 = self._pyramid(im1)
+        c21, c22, c23, c24, c25, c26 = self._pyramid(im2)
+
+        x = self._dense(6, self._corr(c16, c26))
+        flow6 = self.predict_flow6(x)
+        up_flow6 = self.deconv6(flow6)
+        up_feat6 = self.upfeat6(x)
+
+        warp5 = pwc_warp(c25, up_flow6 * 0.625)
+        x = jnp.concatenate([self._corr(c15, warp5), c15, up_flow6, up_feat6], -1)
+        x = self._dense(5, x)
+        flow5 = self.predict_flow5(x)
+        up_flow5 = self.deconv5(flow5)
+        up_feat5 = self.upfeat5(x)
+
+        warp4 = pwc_warp(c24, up_flow5 * 1.25)
+        x = jnp.concatenate([self._corr(c14, warp4), c14, up_flow5, up_feat5], -1)
+        x = self._dense(4, x)
+        flow4 = self.predict_flow4(x)
+        up_flow4 = self.deconv4(flow4)
+        up_feat4 = self.upfeat4(x)
+
+        warp3 = pwc_warp(c23, up_flow4 * 2.5)
+        x = jnp.concatenate([self._corr(c13, warp3), c13, up_flow4, up_feat4], -1)
+        x = self._dense(3, x)
+        flow3 = self.predict_flow3(x)
+        up_flow3 = self.deconv3(flow3)
+        up_feat3 = self.upfeat3(x)
+
+        warp2 = pwc_warp(c22, up_flow3 * 5.0)
+        x = jnp.concatenate([self._corr(c12, warp2), c12, up_flow3, up_feat3], -1)
+        x = self._dense(2, x)
+        flow2 = self.predict_flow2(x)
+
+        ctx = self.dc_conv4(self.dc_conv3(self.dc_conv2(self.dc_conv1(x))))
+        flow2 = flow2 + self.dc_conv7(self.dc_conv6(self.dc_conv5(ctx)))
+
+        if output_more:
+            return [flow2, flow3, flow4, flow5, flow6]
+        return flow2
