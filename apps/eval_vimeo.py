@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Vimeo-90K test-split PSNR/SSIM sweep — TPU re-design of
+``demo_test_ourdata.py`` (same metrics/averaging, :364-388), batched and
+jitted once instead of per-pair host loops.
+
+Usage:
+  python apps/eval_vimeo.py --dataset-path /data/vimeo_triplet \
+      [--checkpoint model_weights/best] [--torch-checkpoint best.pth] \
+      [--batch-size 8] [--save-which 1] [--limit N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset-path", required=True)
+    ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    ap.add_argument("--torch-checkpoint", default=None,
+                    help="reference .pth to convert and evaluate")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--save-which", type=int, default=1,
+                    help="0: blended output, 1: rectified (my_args.py default)")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="cap the number of eval batches")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.data import Vimeo90KDataset, prefetch, vimeo90k_splits
+    from vfidkr_tpu.models import DAIN
+    from vfidkr_tpu.utils import psnr, ssim
+
+    model = DAIN()
+    _, test_paths = vimeo90k_splits(args.dataset_path)
+    ds = Vimeo90KDataset(args.dataset_path, test_paths, args.batch_size,
+                         augment=False)
+
+    rng = np.random.RandomState(0)
+    sample = {k: jnp.asarray(rng.rand(args.batch_size, 256, 448, 3), jnp.float32)
+              for k in ("x0", "x1")}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample["x0"], sample["x1"])
+
+    if args.torch_checkpoint:
+        from vfidkr_tpu.convert import convert_dain_state_dict, load_torch_state_dict
+        from vfidkr_tpu.training.checkpoint import filtered_partial_load
+        ck = convert_dain_state_dict(load_torch_state_dict(args.torch_checkpoint))
+        params, loaded, skipped = filtered_partial_load(
+            jax.device_get(params), ck)
+        print(f"converted torch checkpoint: {len(loaded)} tensors loaded, "
+              f"{len(skipped)} skipped", file=sys.stderr)
+        params = jax.device_put(params)
+    elif args.checkpoint:
+        import orbax.checkpoint as ocp
+        params = ocp.StandardCheckpointer().restore(
+            args.checkpoint, jax.device_get(params))
+        params = jax.device_put(params)
+
+    which = args.save_which
+
+    @jax.jit
+    def step(params, x0, x1, y):
+        out = model.apply(params, x0, x1)["outputs"][which]
+        out = jnp.clip(out, 0.0, 1.0)
+        return (psnr(jnp.round(out * 255.0), jnp.round(y * 255.0)),
+                ssim(out, y))
+
+    n_batches = ds.steps_per_epoch() if args.limit is None else args.limit
+    psnrs, ssims = [], []
+    t0 = time.time()
+    for batch in prefetch(ds.batches(sequential=True), 2):
+        if len(psnrs) >= n_batches:
+            break
+        p, s = step(params, jnp.asarray(batch["x0"]),
+                    jnp.asarray(batch["x1"]), jnp.asarray(batch["y"]))
+        psnrs.append(float(p))
+        ssims.append(float(s))
+        if len(psnrs) % 50 == 0:
+            print(f"[{len(psnrs)}/{n_batches}] PSNR {np.mean(psnrs):.4f} "
+                  f"SSIM {np.mean(ssims):.5f}", file=sys.stderr)
+    dt = time.time() - t0
+
+    result = {
+        "avg_psnr": float(np.mean(psnrs)),
+        "avg_ssim": float(np.mean(ssims)),
+        "pairs": len(psnrs) * args.batch_size,
+        "pairs_per_sec": len(psnrs) * args.batch_size / dt,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

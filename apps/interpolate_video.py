@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Streaming video interpolation — TPU re-design of ``colab_interpolate.py``.
+
+The reference processes one frame pair per model call with a full
+GPU->host->PNG round trip per output frame (:64-156) — the throughput
+bottleneck SURVEY.md §3.5 calls out.  Here the model is jitted once per
+resolution bucket, decode/encode run in host threads, and frame pairs stream
+through the device back-to-back.
+
+Input: a directory of numbered frames (00001.png, ...).  Output naming keeps
+the reference convention ``{frame:0Nd}{offset:03d}.png`` with offset 000 the
+pass-through original and k=1..N-1 the interpolated steps.
+
+Usage:
+  python apps/interpolate_video.py --frames-dir in/ --out-dir out/ \
+      --time-step 0.5 [--model DAIN|DAIN_slowmotion] [--checkpoint ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames-dir", required=True)
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--time-step", type=float, default=0.5)
+    ap.add_argument("--model", default="DAIN",
+                    choices=["DAIN", "DAIN_slowmotion"])
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--torch-checkpoint", default=None)
+    ap.add_argument("--save-which", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from vfidkr_tpu.data import prefetch
+    from vfidkr_tpu.models import build_model
+    from vfidkr_tpu.utils import pad_to_multiple, unpad
+
+    frames = sorted(f for f in os.listdir(args.frames_dir)
+                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    assert len(frames) >= 2, "need at least two frames"
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    kwargs = {"timestep": args.time_step} if args.model == "DAIN_slowmotion" \
+        else {}
+    model = build_model(args.model, **kwargs)
+    num_out = int(round(1.0 / args.time_step)) - 1
+
+    def load(name):
+        with Image.open(os.path.join(args.frames_dir, name)) as im:
+            return np.asarray(im.convert("RGB"), np.float32)[None] / 255.0
+
+    def frame_pairs():
+        prev = load(frames[0])
+        for nxt_name in frames[1:]:
+            nxt = load(nxt_name)
+            yield prev, nxt
+            prev = nxt
+
+    first = load(frames[0])
+    x0p, pads = pad_to_multiple(jnp.asarray(first))
+    if args.model == "DAIN":
+        init_args = (x0p, x0p)
+    else:
+        init_args = (x0p, x0p)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *init_args)
+
+    if args.torch_checkpoint:
+        from vfidkr_tpu.convert import convert_dain_state_dict, load_torch_state_dict
+        from vfidkr_tpu.training.checkpoint import filtered_partial_load
+        ck = convert_dain_state_dict(load_torch_state_dict(args.torch_checkpoint))
+        variables, loaded, skipped = filtered_partial_load(
+            jax.device_get(variables), ck)
+        print(f"loaded {len(loaded)} tensors ({len(skipped)} skipped)",
+              file=sys.stderr)
+        variables = jax.device_put(variables)
+    elif args.checkpoint:
+        import orbax.checkpoint as ocp
+        variables = jax.device_put(ocp.StandardCheckpointer().restore(
+            args.checkpoint, jax.device_get(variables)))
+
+    @jax.jit
+    def interp(variables, a, b):
+        res = model.apply(variables, a, b)
+        outs = res["outputs"][args.save_which]
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
+        return [jnp.clip(o, 0.0, 1.0) for o in outs]
+
+    def save(path, img01):
+        Image.fromarray(
+            np.asarray(np.round(img01[0] * 255.0), np.uint8)).save(path)
+
+    t0 = time.time()
+    produced = 0
+    for idx, (a, b) in enumerate(prefetch(frame_pairs(), 2), start=1):
+        ap_, pads = pad_to_multiple(jnp.asarray(a))
+        bp_, _ = pad_to_multiple(jnp.asarray(b))
+        outs = interp(variables, ap_, bp_)
+        save(os.path.join(args.out_dir, f"{idx:05d}000.png"), a)
+        for k, o in enumerate(outs, start=1):
+            save(os.path.join(args.out_dir, f"{idx:05d}{k:03d}.png"),
+                 np.asarray(unpad(o, pads)))
+            produced += 1
+    # pass-through final frame
+    save(os.path.join(args.out_dir, f"{len(frames):05d}000.png"),
+         load(frames[-1]))
+    dt = time.time() - t0
+
+    print(json.dumps({
+        "input_frames": len(frames),
+        "interpolated_frames": produced,
+        "wall_s": dt,
+        "interp_frames_per_sec": produced / dt if dt > 0 else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Headline benchmark: interpolated frames/sec/chip, DAIN mid-frame synthesis
+at 448x256 (the BASELINE.md north-star config) on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 100 (the >=1e2 frames/sec/chip target from
+BASELINE.json; the reference repo publishes no numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.models import DAIN
+
+    model = DAIN()
+    rng = np.random.RandomState(0)
+    h, w = 256, 448
+    i0 = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
+    i2 = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), i0, i2)
+    jax.block_until_ready(params)
+
+    fwd = jax.jit(lambda p, a, b: model.apply(p, a, b)["outputs"][1])
+    out = fwd(params, i0, i2)
+    out.block_until_ready()           # compile
+
+    # steady state: chain iterations through a data dependency so sequential
+    # device execution is enforced, then average
+    iters = 50
+    t0 = time.perf_counter()
+    x = i0
+    for _ in range(iters):
+        x = fwd(params, x, i2)
+    x.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "dain_interp_frames_per_sec_per_chip_448x256",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Metrics (vs reference torch SSIM formula), Vimeo data pipeline (synthetic
+on-disk dataset), and filtered partial checkpoint loading."""
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vfidkr_tpu.utils import interpolation_error, pad_to_multiple, psnr, ssim, unpad
+from vfidkr_tpu.training.checkpoint import (
+    filtered_partial_load,
+    flatten_tree,
+    unflatten_tree,
+)
+
+
+@pytest.mark.parity
+def test_ssim_matches_reference_formula(rng):
+    """Reference SSIM (demo_MiddleBury.py:24-162): separable 11-tap gaussian
+    (sigma 1.5), VALID windows, K=(0.01,0.03) — reimplemented in torch here."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    x = rng.rand(2, 32, 40, 3).astype(np.float32)
+    y = np.clip(x + rng.randn(2, 32, 40, 3).astype(np.float32) * 0.05, 0, 1)
+
+    coords = torch.arange(11, dtype=torch.float) - 5
+    g = torch.exp(-(coords ** 2) / (2 * 1.5 ** 2))
+    g = (g / g.sum()).reshape(1, 1, 1, 11).repeat(3, 1, 1, 1)
+
+    def gf(t):
+        t = F.conv2d(t, g.transpose(2, 3), groups=3)
+        return F.conv2d(t, g, groups=3)
+
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    ty = torch.from_numpy(y.transpose(0, 3, 1, 2))
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    mu1, mu2 = gf(tx), gf(ty)
+    s1 = gf(tx * tx) - mu1 ** 2
+    s2 = gf(ty * ty) - mu2 ** 2
+    s12 = gf(tx * ty) - mu1 * mu2
+    cs = (2 * s12 + c2) / (s1 + s2 + c2)
+    smap = ((2 * mu1 * mu2 + c1) / (mu1 ** 2 + mu2 ** 2 + c1)) * cs
+    want = smap.mean().item()
+
+    got = float(ssim(jnp.asarray(x), jnp.asarray(y)))
+    assert abs(got - want) < 1e-5
+
+
+def test_psnr_ie_basics(rng):
+    a = (rng.rand(1, 16, 16, 3) * 255).astype(np.float32)
+    assert float(psnr(jnp.asarray(a), jnp.asarray(a))) == float("inf")
+    b = np.clip(a + 10, 0, 255)
+    assert abs(float(interpolation_error(jnp.asarray(a), jnp.asarray(b))) -
+               float(np.abs(a - b).mean())) < 1e-4
+
+
+def test_pad_to_multiple(rng):
+    x = jnp.asarray(rng.rand(1, 256, 448, 3), jnp.float32)
+    padded, pads = pad_to_multiple(x, 128, 32)
+    assert padded.shape[1] % 128 == 0 and padded.shape[2] % 128 == 0
+    assert min(pads) >= 32
+    back = unpad(padded, pads)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def _make_synthetic_vimeo(tmp_path, n_seqs=4, hw=(64, 96)):
+    rng = np.random.RandomState(0)
+    from PIL import Image
+    names = []
+    for i in range(n_seqs):
+        rel = f"00001/{i:04d}"
+        d = tmp_path / "sequences" / rel
+        d.mkdir(parents=True)
+        for f in ("im1.png", "im2.png", "im3.png"):
+            arr = (rng.rand(*hw, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f)
+        names.append(rel)
+    (tmp_path / "tri_trainlist.txt").write_text("\n".join(names[:3]) + "\n\n")
+    (tmp_path / "tri_testlist.txt").write_text("\n".join(names[3:]) + "\n\n")
+    return names
+
+
+def test_vimeo_pipeline(tmp_path, rng):
+    from vfidkr_tpu.data import Vimeo90KDataset, prefetch, vimeo90k_splits
+    _make_synthetic_vimeo(tmp_path)
+    train, test = vimeo90k_splits(str(tmp_path))
+    assert len(train) == 3 and len(test) == 1
+
+    ds = Vimeo90KDataset(str(tmp_path), train, batch_size=2, augment=True,
+                         crop_hw=(32, 48))
+    batches = list(prefetch(ds.batches(3), 2))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["x0"].shape == (2, 32, 48, 3)
+    assert b["x0"].dtype == np.float32
+    assert 0.0 <= b["x0"].min() and b["x0"].max() <= 1.0
+    # sampler keeps drawing beyond one epoch (infinite balanced sampler)
+    many = list(ds.batches(5))
+    assert len(many) == 5
+
+
+def test_filtered_partial_load():
+    target = {"a": {"w": np.zeros((2, 2))}, "b": {"w": np.zeros(3)}}
+    ckpt = {"a": {"w": np.ones((2, 2))},
+            "b": {"w": np.ones(4)},              # shape mismatch -> skipped
+            "c": {"w": np.ones(1)}}              # unknown key -> skipped
+    merged, loaded, skipped = filtered_partial_load(target, ckpt)
+    assert merged["a"]["w"].sum() == 4
+    assert merged["b"]["w"].sum() == 0
+    assert ("a", "w") in loaded
+    assert len(skipped) == 2
+    # flatten/unflatten round trip
+    assert unflatten_tree(flatten_tree(target)).keys() == target.keys()
