@@ -40,6 +40,90 @@ import jax
 import jax.numpy as jnp
 
 
+def _window_geometry(image, flow, filter_size):
+    """Shared landing/window math. Returns (valid, iy_t, ix_l, alpha, beta)."""
+    h, w, _ = image.shape
+    fs = filter_size
+    half = fs // 2
+
+    fx = flow[..., 0].astype(jnp.float32)
+    fy = flow[..., 1].astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    x2 = xx + fx
+    y2 = yy + fy
+
+    valid = ((x2 >= 0.0) & (y2 >= 0.0)
+             & (x2 <= float(w - 1)) & (y2 <= float(h - 1))
+             & (jnp.abs(fx) < float(w) / 2.0) & (jnp.abs(fy) < float(h) / 2.0))
+
+    x2s = jnp.clip(x2, 0.0, float(w - 1))
+    y2s = jnp.clip(y2, 0.0, float(h - 1))
+    ix = jnp.floor(x2s).astype(jnp.int32)
+    iy = jnp.floor(y2s).astype(jnp.int32)
+    alpha = x2s - ix.astype(jnp.float32)   # frac(x2); d(alpha)/d(fx) == 1
+    beta = y2s - iy.astype(jnp.float32)
+    return valid, iy + 1 - half, ix + 1 - half, alpha, beta
+
+
+def _filter_interpolate_2d_onehot(image, flow, filt, filter_size):
+    """Separable MXU approximation: the per-pixel window gather as two one-hot
+    matmuls (rows then columns) — dense contractions instead of TPU-hostile
+    gathers.
+
+    APPROXIMATE: the row index is evaluated at the *tap column* instead of the
+    output pixel (separable decomposition); results differ from the reference
+    only where the vertical flow component changes within the 4-px tap window.
+    Exact modes: impl="gather" (XLA gather) or impl="pallas" (fused kernel).
+    """
+    h, w, c = image.shape
+    fs = filter_size
+    half = fs // 2
+    pad_lo, pad_hi = half - 1, fs - half   # tap range [i - (half-1), i + (fs-half)]
+
+    valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, filter_size)
+    image = image.astype(jnp.float32)
+
+    # ---- row taps: one one-hot over H, fs row-shifted copies share it.
+    # clamp(t, 0, h-1) for t in [-pad_lo, h-1+pad_hi] == reading an edge-padded
+    # image at t + pad_lo, so the tap clamp costs nothing here.
+    ipad = jnp.pad(image, ((pad_lo, pad_hi), (0, 0), (0, 0)), mode="edge")
+    base_v = iy_t + pad_lo                               # in [0, h-1]
+    vv = jax.lax.broadcasted_iota(jnp.int32, (h, w, h), 2)
+    onehot_v = (vv == base_v[..., None]).astype(jnp.float32)
+    # stack the fs row slices channel-wise -> single einsum
+    row_ops = jnp.concatenate([
+        jax.lax.dynamic_slice_in_dim(ipad, dj, h, axis=0)
+        for dj in range(fs)], axis=-1)                    # (h, w, fs*C)
+    rows = jnp.einsum("yxv,vxk->yxk", onehot_v, row_ops,
+                      preferred_element_type=jnp.float32)  # (h, w, fs*C)
+
+    # ---- column taps on the row-gathered stack
+    rpad = jnp.pad(rows, ((0, 0), (pad_lo, pad_hi), (0, 0)), mode="edge")
+    base_u = ix_l + pad_lo
+    uu = jax.lax.broadcasted_iota(jnp.int32, (h, w, w), 2)
+    onehot_u = (uu == base_u[..., None]).astype(jnp.float32)
+    col_ops = jnp.concatenate([
+        jax.lax.dynamic_slice_in_dim(rpad, di, w, axis=1)
+        for di in range(fs)], axis=-1)                    # (h, w, fs*fs*C)
+    taps = jnp.einsum("yxu,yuk->yxk", onehot_u, col_ops,
+                      preferred_element_type=jnp.float32)  # (h, w, fs*fs*C)
+    # layout: k = di * (fs*C) + dj * C + c
+    taps = taps.reshape(h, w, fs, fs, c)                   # (y, x, di, dj, c)
+
+    wx = jnp.stack([alpha if di >= half else 1.0 - alpha for di in range(fs)],
+                   axis=-1)                                # (h, w, fs)
+    wy = jnp.stack([beta if dj >= half else 1.0 - beta for dj in range(fs)],
+                   axis=-1)
+    kweights = filt.reshape(h, w, fs, fs)                  # (y, x, dj, di)
+    weight = kweights.transpose(0, 1, 3, 2) * wx[..., :, None] * wy[..., None, :]
+    out = jnp.einsum("yxij,yxijc->yxc", weight, taps,
+                     preferred_element_type=jnp.float32)
+
+    fallback = jax.lax.stop_gradient(image)
+    return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
+
+
 def _filter_interpolate_2d(image: jax.Array, flow: jax.Array, filt: jax.Array,
                            filter_size: int) -> jax.Array:
     """Single-image core. image (H,W,C), flow (H,W,2) as (fx,fy), filt (H,W,fs*fs)."""
@@ -89,9 +173,9 @@ def _filter_interpolate_2d(image: jax.Array, flow: jax.Array, filt: jax.Array,
     return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("filter_size",))
+@functools.partial(jax.jit, static_argnames=("filter_size", "impl"))
 def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
-                       filter_size: int = 4) -> jax.Array:
+                       filter_size: int = 4, impl: str = "gather") -> jax.Array:
     """Warp ``image`` by ``flow`` while convolving with a per-pixel adaptive kernel.
 
     Args:
@@ -100,6 +184,9 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
       filt:  ``(B, H, W, filter_size**2)`` learned per-pixel kernel, row-major
              window order (``dj * fs + di``).
       filter_size: window size (reference always uses 4).
+      impl: "gather" (default; exact, XLA gather) or "separable" (fast MXU
+            one-hot formulation — approximate where vertical flow varies
+            within the tap window; see _filter_interpolate_2d_onehot).
 
     Returns:
       ``(B, H, W, C)`` warped frame.  Matches
@@ -107,5 +194,7 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
       f32, including its out-of-range copy-source fallback; gradients match
       the reference backward kernel (see module docstring).
     """
-    core = functools.partial(_filter_interpolate_2d, filter_size=filter_size)
+    fn = (_filter_interpolate_2d_onehot if impl == "separable"
+          else _filter_interpolate_2d)
+    core = functools.partial(fn, filter_size=filter_size)
     return jax.vmap(core)(image, flow, filt)

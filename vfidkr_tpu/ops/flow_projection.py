@@ -73,50 +73,75 @@ def _four_neighbour_lin(ix_l, ix_r, iy_t, iy_b, w):
     ]
 
 
+def _scatter4_onehot(iy_t, iy_b, ix_l, ix_r, vals, row_chunk=32):
+    """Scatter ``vals[y,x,c]`` into the 4 neighbour cells — as dense one-hot
+    contractions on the MXU instead of a scatter HLO (TPU scatters serialise).
+
+    ``A[y,x,v] = 1{v==iy_t} + 1{v==iy_b}`` (2 where they coincide at the
+    border — reproducing the reference's double atomicAdd), ``B`` likewise
+    over columns; the result is ``sum_{y,x} A*B*vals -> (v,u,c)``, accumulated
+    over row chunks to bound the intermediate.  The einsum transpose gives the
+    backward as a dense gather-free contraction too.
+    """
+    h, w = iy_t.shape
+    c = vals.shape[-1]
+    acc = jnp.zeros((h, w, c), jnp.float32)
+    for s in range(0, h, row_chunk):
+        e = min(s + row_chunk, h)
+        vv = jax.lax.broadcasted_iota(jnp.int32, (e - s, w, h), 2)
+        a = ((vv == iy_t[s:e, :, None]).astype(jnp.float32)
+             + (vv == iy_b[s:e, :, None]).astype(jnp.float32))
+        uu = jax.lax.broadcasted_iota(jnp.int32, (e - s, w, w), 2)
+        b = ((uu == ix_l[s:e, :, None]).astype(jnp.float32)
+             + (uu == ix_r[s:e, :, None]).astype(jnp.float32))
+        acc = acc + jnp.einsum("yxv,yxu,yxc->vuc", a, b, vals[s:e],
+                               preferred_element_type=jnp.float32)
+    return acc
+
+
+def _last_valid_scan(vals, filled, axis, reverse):
+    """Inclusive 'last valid value' scan: at each position, the value of the
+    nearest filled cell at-or-before it along ``axis`` (after it if
+    ``reverse``).  Gather-free: a log-depth associative scan on TPU."""
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    # broadcast filled over the value channels so both operands share a shape
+    f = jnp.broadcast_to(filled[..., None], vals.shape)
+    v, fscan = jax.lax.associative_scan(combine, (vals, f), axis=axis,
+                                        reverse=reverse)
+    return v, fscan[..., 0]
+
+
 def fill_holes(count: jax.Array, out: jax.Array) -> jax.Array:
     """Fill hole cells (count <= 0) with the mean of the nearest filled cell in
     each of the 4 cardinal directions (left/right/up/down).
 
     Jittable reformulation of the sequential directional search in
     ``FlowFillhole_kernelfunc`` (flowprojection_cuda_kernel.cu:141-234): the
-    per-pixel while-loops become running cummax/cummin of "last filled index".
+    per-pixel while-loops become "last filled value" associative scans along
+    rows and columns — no gathers, no scatters.
 
     Args:
       count: (H, W) scatter hit count.
       out:   (H, W, 2) averaged projected flow (holes are 0).
     """
-    h, w = count.shape
     filled = count > 0.0
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    left_v, left_e = _last_valid_scan(out, filled, axis=1, reverse=False)
+    right_v, right_e = _last_valid_scan(out, filled, axis=1, reverse=True)
+    up_v, up_e = _last_valid_scan(out, filled, axis=0, reverse=False)
+    down_v, down_e = _last_valid_scan(out, filled, axis=0, reverse=True)
 
-    # nearest filled index at-or-left of each column (holes: strictly left)
-    left_idx = jax.lax.cummax(jnp.where(filled, col, -1), axis=1)
-    right_idx = -jax.lax.cummax(jnp.where(filled, -col, -(w + 1)), axis=1, reverse=True)
-    up_idx = jax.lax.cummax(jnp.where(filled, row, -1), axis=0)
-    down_idx = -jax.lax.cummax(jnp.where(filled, -row, -(h + 1)), axis=0, reverse=True)
-
-    def gather_row(idx):     # sample out at (row, idx)
-        lin = (row * w + jnp.clip(idx, 0, w - 1)).reshape(-1)
-        return jnp.take(out.reshape(h * w, -1), lin, axis=0).reshape(out.shape)
-
-    def gather_col(idx):     # sample out at (idx, col)
-        lin = (jnp.clip(idx, 0, h - 1) * w + col).reshape(-1)
-        return jnp.take(out.reshape(h * w, -1), lin, axis=0).reshape(out.shape)
-
-    exists = [
-        (left_idx >= 0).astype(out.dtype),
-        (right_idx <= w - 1).astype(out.dtype),
-        (up_idx >= 0).astype(out.dtype),
-        (down_idx <= h - 1).astype(out.dtype),
-    ]
-    vals = [gather_row(left_idx), gather_row(right_idx),
-            gather_col(up_idx), gather_col(down_idx)]
+    exists = [e.astype(out.dtype) for e in (left_e, right_e, up_e, down_e)]
+    vals = [left_v, right_v, up_v, down_v]
 
     num = sum(e[..., None] * v for e, v in zip(exists, vals))
     den = sum(exists)
-    filled_val = jnp.where(den[..., None] > 0, num / jnp.maximum(den, 1.0)[..., None], out)
+    filled_val = jnp.where(den[..., None] > 0,
+                           num / jnp.maximum(den, 1.0)[..., None], out)
     return jnp.where(filled[..., None], out, filled_val)
 
 
@@ -129,17 +154,10 @@ def _flow_project_2d(flow, do_fill):
     fx, fy, valid, ix_l, ix_r, iy_t, iy_b = _landing(flow)
     validf = valid.astype(jnp.float32)
 
-    vals = jnp.stack([-fx * validf, -fy * validf], axis=-1).reshape(-1, 2)
-    ones = validf.reshape(-1)
+    vals = jnp.stack([-fx * validf, -fy * validf, validf], axis=-1)
+    accum = _scatter4_onehot(iy_t, iy_b, ix_l, ix_r, vals)
+    acc, cnt = accum[..., :2], accum[..., 2]
 
-    acc = jnp.zeros((h * w, 2), jnp.float32)
-    cnt = jnp.zeros((h * w,), jnp.float32)
-    for lin in _four_neighbour_lin(ix_l, ix_r, iy_t, iy_b, w):
-        acc = acc.at[lin].add(vals)
-        cnt = cnt.at[lin].add(ones)
-
-    cnt = cnt.reshape(h, w)
-    acc = acc.reshape(h, w, 2)
     out = jnp.where(cnt[..., None] > 0, acc / jnp.maximum(cnt, 1.0)[..., None], 0.0)
     if do_fill:
         out = fill_holes(jax.lax.stop_gradient(cnt), jax.lax.stop_gradient(out))
@@ -166,17 +184,10 @@ def _depth_flow_project_fwd_2d(flow, depth_inv):
     fx, fy, valid, ix_l, ix_r, iy_t, iy_b = _landing(flow)
     d = depth_inv.astype(jnp.float32) * valid.astype(jnp.float32)
 
-    vals = jnp.stack([-fx * d, -fy * d], axis=-1).reshape(-1, 2)
-    dflat = d.reshape(-1)
+    vals = jnp.stack([-fx * d, -fy * d, d], axis=-1)
+    accum = _scatter4_onehot(iy_t, iy_b, ix_l, ix_r, vals)
+    acc, cnt = accum[..., :2], accum[..., 2]
 
-    acc = jnp.zeros((h * w, 2), jnp.float32)
-    cnt = jnp.zeros((h * w,), jnp.float32)
-    for lin in _four_neighbour_lin(ix_l, ix_r, iy_t, iy_b, w):
-        acc = acc.at[lin].add(vals)
-        cnt = cnt.at[lin].add(dflat)
-
-    cnt = cnt.reshape(h, w)
-    acc = acc.reshape(h, w, 2)
     out = jnp.where(cnt[..., None] > 0, acc / jnp.maximum(cnt, 1e-30)[..., None], 0.0)
     return out, cnt
 
