@@ -112,3 +112,25 @@ def test_filtered_partial_load():
     assert len(skipped) == 2
     # flatten/unflatten round trip
     assert unflatten_tree(flatten_tree(target)).keys() == target.keys()
+
+
+def test_native_augment_parity(rng):
+    """C++ batch augmentation must be bit-identical to the Python path."""
+    from vfidkr_tpu.data import native as nat
+    if not nat.native_available():
+        pytest.skip("native lib not built (make -C native)")
+    n, h, w = 4, 64, 96
+    im1, im2, im3 = (rng.randint(0, 256, (n, h, w, 3)).astype(np.uint8)
+                     for _ in range(3))
+    aug = nat.make_aug_records(np.random.RandomState(1), n, h, w, (32, 48), True)
+    out = nat.augment_triplet_batch(im1, im2, im3, aug, (32, 48))
+    lib, nat._lib = nat._lib, None
+    orig = nat.load_native
+    nat.load_native = lambda: None
+    try:
+        ref = nat.augment_triplet_batch(im1, im2, im3, aug, (32, 48))
+    finally:
+        nat.load_native = orig
+        nat._lib = lib
+    for k in ("x0", "x1", "y"):
+        np.testing.assert_array_equal(out[k], ref[k])

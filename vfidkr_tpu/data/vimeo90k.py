@@ -132,6 +132,21 @@ class Vimeo90KDataset:
         return len(self.paths) // self.batch_size
 
     def _make_batch(self, idxs):
+        from vfidkr_tpu.data import native as nat
+        if nat.native_available():
+            # decode to uint8, then crop/flip/normalise/assemble in C++
+            im1s, im2s, im3s = [], [], []
+            for i in idxs:
+                seq = os.path.join(self.root, "sequences", self.paths[i])
+                im1s.append(_imread(os.path.join(seq, "im1.png")))
+                im2s.append(_imread(os.path.join(seq, "im2.png")))
+                im3s.append(_imread(os.path.join(seq, "im3.png")))
+            im1 = np.stack(im1s)
+            h, w = im1.shape[1:3]
+            aug = nat.make_aug_records(self.rng, len(im1s), h, w,
+                                       self.crop_hw, self.augment)
+            return nat.augment_triplet_batch(im1, np.stack(im2s),
+                                             np.stack(im3s), aug, self.crop_hw)
         x0s, x1s, ys = [], [], []
         for i in idxs:
             x0, x1, y = load_triplet(self.root, self.paths[i], self.augment,

@@ -72,39 +72,41 @@ class DAIN(nn.Module):
             self.deconv_field(i0)
             self.ctx_net(i0)
 
-    def _bidirectional_flow(self, i0, i2, time_offsets):
-        """forward_flownets (:296-311) for both directions."""
-        flows_fwd, flows_bwd = [], []
-        raw_fwd = self.flownets(i0, i2)
-        raw_bwd = self.flownets(i2, i0)
-        for t in time_offsets:
-            flows_fwd.append(upsample_bilinear(raw_fwd * (self.div_flow * t), 4))
-        for t in time_offsets[::-1]:
-            flows_bwd.append(upsample_bilinear(raw_bwd * (self.div_flow * t), 4))
-        return flows_fwd, flows_bwd
-
     def __call__(self, i0, i2, train: bool = False):
         """i0, i2: (B,H,W,3) with H,W divisible by 128 (reference pads eval
         inputs to 128 multiples, demo_MiddleBury.py:294-312; U-Net needs /32,
         PWC-Net /64).
 
         Returns dict with cur_output, rectified, offsets, filters.
+
+        TPU notes (all exact): PWC pyramids are shared between directions;
+        the direction-paired projection/interpolation calls are batched into
+        single ops to amortise their fixed kernel cost.
         """
         self._touch_unused(i0)
+        b = i0.shape[0]
         cat = jnp.concatenate([i0, i2], axis=-1)
 
         trunk = self.filter_net(cat)
         filt0 = self.filter_head1(trunk)
         filt1 = self.filter_head2(trunk)
 
-        (f01,), (f10,) = self._bidirectional_flow(i0, i2, [self.timestep])
+        t = self.timestep
+        raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
+        f01 = upsample_bilinear(raw_fwd * (self.div_flow * t), 4)
+        f10 = upsample_bilinear(raw_bwd * (self.div_flow * t), 4)
 
         hole_fill = not train   # FlowProjectionLayer.py:23
-        off0 = flow_project(f01, hole_fill=hole_fill)
-        off1 = flow_project(f10, hole_fill=hole_fill)
+        offs = flow_project(jnp.concatenate([f01, f10], axis=0),
+                            hole_fill=hole_fill)
+        off0, off1 = offs[:b], offs[b:]
 
-        ref0 = filter_interpolate(i0, off0, filt0, self.filter_size)
-        ref2 = filter_interpolate(i2, off1, filt1, self.filter_size)
+        refs = filter_interpolate(
+            jnp.concatenate([i0, i2], axis=0),
+            offs,
+            jnp.concatenate([filt0, filt1], axis=0),
+            self.filter_size, impl="block")
+        ref0, ref2 = refs[:b], refs[b:]
         cur_output = ref0 / 2.0 + ref2 / 2.0
 
         rectify_input = jnp.concatenate(
@@ -158,8 +160,7 @@ class DAINSlowMotion(nn.Module):
         filt0 = self.filter_head1(trunk)
         filt1 = self.filter_head2(trunk)
 
-        raw_fwd = self.flownets(i0, i2)
-        raw_bwd = self.flownets(i2, i0)
+        raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
         hole_fill = not train
 
         outputs, rectified_outputs, offsets = [], [], []
@@ -174,13 +175,15 @@ class DAINSlowMotion(nn.Module):
             # context warp with detached flow/kernels (:311-321)
             ctx0_w = filter_interpolate(
                 ctx0, jax.lax.stop_gradient(off0),
-                jax.lax.stop_gradient(filt0), self.filter_size)
+                jax.lax.stop_gradient(filt0), self.filter_size, impl="block")
             ctx2_w = filter_interpolate(
                 ctx2, jax.lax.stop_gradient(off1),
-                jax.lax.stop_gradient(filt1), self.filter_size)
+                jax.lax.stop_gradient(filt1), self.filter_size, impl="block")
 
-            ref0 = filter_interpolate(i0, off0, filt0, self.filter_size)
-            ref2 = filter_interpolate(i2, off1, filt1, self.filter_size)
+            ref0 = filter_interpolate(i0, off0, filt0, self.filter_size,
+                                      impl="block")
+            ref2 = filter_interpolate(i2, off1, filt1, self.filter_size,
+                                      impl="block")
             out = ref0 * (1.0 - t) + ref2 * t    # time-weighted fusion (:335)
 
             rectify_input = jnp.concatenate(

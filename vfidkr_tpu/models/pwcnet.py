@@ -112,8 +112,21 @@ class PWCDCNet(nn.Module):
         return x
 
     def __call__(self, im1, im2, output_more: bool = False):
-        c11, c12, c13, c14, c15, c16 = self._pyramid(im1)
-        c21, c22, c23, c24, c25, c26 = self._pyramid(im2)
+        return self._decode(self._pyramid(im1), self._pyramid(im2),
+                            output_more)
+
+    def bidirectional(self, im1, im2):
+        """Both flow directions with the siamese pyramids computed once
+        (the reference runs two full passes, networks/DAIN.py:196-202; the
+        pyramid convs are identical work and shared here — exact same
+        outputs)."""
+        p1 = self._pyramid(im1)
+        p2 = self._pyramid(im2)
+        return self._decode(p1, p2, False), self._decode(p2, p1, False)
+
+    def _decode(self, pyr1, pyr2, output_more: bool = False):
+        c11, c12, c13, c14, c15, c16 = pyr1
+        c21, c22, c23, c24, c25, c26 = pyr2
 
         x = self._dense(6, self._corr(c16, c26))
         flow6 = self.predict_flow6(x)

@@ -124,6 +124,44 @@ def _filter_interpolate_2d_onehot(image, flow, filt, filter_size):
     return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
 
 
+def _filter_interpolate_2d_block(image, flow, filt, filter_size):
+    """Exact single-gather formulation: one ``lax.gather`` of (fs,fs,C) blocks
+    from an edge-padded image (clamped taps == edge-padded reads), then a
+    weighted reduction.  16x fewer gather indices than the per-tap version —
+    XLA TPU gather cost is dominated by index count.
+    """
+    h, w, c = image.shape
+    fs = filter_size
+    half = fs // 2
+    pad_lo, pad_hi = half - 1, fs - half
+
+    valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, filter_size)
+    ipad = jnp.pad(image.astype(jnp.float32),
+                   ((pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)), mode="edge")
+
+    starts = jnp.stack([(iy_t + pad_lo).reshape(-1),
+                        (ix_l + pad_lo).reshape(-1)], axis=-1)   # (H*W, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    blocks = jax.lax.gather(
+        ipad, starts, dnums, slice_sizes=(fs, fs, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    taps = blocks.reshape(h, w, fs, fs, c)                        # (y,x,dj,di,c)
+
+    wx = jnp.stack([alpha if di >= half else 1.0 - alpha for di in range(fs)],
+                   axis=-1)
+    wy = jnp.stack([beta if dj >= half else 1.0 - beta for dj in range(fs)],
+                   axis=-1)
+    kweights = filt.reshape(h, w, fs, fs)                         # (y,x,dj,di)
+    weight = kweights * wy[..., :, None] * wx[..., None, :]
+    out = jnp.einsum("yxji,yxjic->yxc", weight, taps,
+                     preferred_element_type=jnp.float32)
+
+    fallback = jax.lax.stop_gradient(image.astype(jnp.float32))
+    return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
+
+
 def _filter_interpolate_2d(image: jax.Array, flow: jax.Array, filt: jax.Array,
                            filter_size: int) -> jax.Array:
     """Single-image core. image (H,W,C), flow (H,W,2) as (fx,fy), filt (H,W,fs*fs)."""
@@ -184,9 +222,10 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
       filt:  ``(B, H, W, filter_size**2)`` learned per-pixel kernel, row-major
              window order (``dj * fs + di``).
       filter_size: window size (reference always uses 4).
-      impl: "gather" (default; exact, XLA gather) or "separable" (fast MXU
-            one-hot formulation — approximate where vertical flow varies
-            within the tap window; see _filter_interpolate_2d_onehot).
+      impl: "block" (exact, one blocked lax.gather), "gather" (exact,
+            per-tap gathers — the oracle), or "separable" (fast MXU one-hot
+            formulation — approximate where vertical flow varies within the
+            tap window; see _filter_interpolate_2d_onehot).
 
     Returns:
       ``(B, H, W, C)`` warped frame.  Matches
@@ -194,7 +233,10 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
       f32, including its out-of-range copy-source fallback; gradients match
       the reference backward kernel (see module docstring).
     """
-    fn = (_filter_interpolate_2d_onehot if impl == "separable"
-          else _filter_interpolate_2d)
+    fn = {
+        "separable": _filter_interpolate_2d_onehot,
+        "gather": _filter_interpolate_2d,
+        "block": _filter_interpolate_2d_block,
+    }[impl]
     core = functools.partial(fn, filter_size=filter_size)
     return jax.vmap(core)(image, flow, filt)
