@@ -29,18 +29,22 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), i0, i2)
     jax.block_until_ready(params)
 
-    fwd = jax.jit(lambda p, a, b: model.apply(p, a, b)["outputs"][1])
-    out = fwd(params, i0, i2)
-    out.block_until_ready()           # compile
+    # honest device timing: a feedback scan (output chained into the next
+    # input, so nothing is loop-invariant) reduced to a scalar that is
+    # device_get'ed — block_until_ready alone can return before execution
+    # completes on tunnelled TPU runtimes
+    iters = 20
 
-    # steady state: chain iterations through a data dependency so sequential
-    # device execution is enforced, then average
-    iters = 50
+    @jax.jit
+    def many(x):
+        def body(x, _):
+            return model.apply(params, x, i2)["outputs"][1], ()
+        x, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(x)
+
+    jax.device_get(many(i0))          # compile + warm
     t0 = time.perf_counter()
-    x = i0
-    for _ in range(iters):
-        x = fwd(params, x, i2)
-    x.block_until_ready()
+    jax.device_get(many(i0))
     dt = (time.perf_counter() - t0) / iters
 
     fps = 1.0 / dt

@@ -49,6 +49,8 @@ class DAIN(nn.Module):
     filter_size: int = 4
     timestep: float = 0.5
     init_unused: bool = True   # instantiate OccNet/DeconvField/ctxNet params
+    filter_impl: str = "block"   # filter_interpolate impl (exact blocked
+                                 # lax.gather; see ops/filter_interpolation)
 
     def setup(self):
         assert self.timestep == 0.5, "DAIN supports t=0.5 only (DAIN.py:36)"
@@ -105,7 +107,7 @@ class DAIN(nn.Module):
             jnp.concatenate([i0, i2], axis=0),
             offs,
             jnp.concatenate([filt0, filt1], axis=0),
-            self.filter_size, impl="block")
+            self.filter_size, impl=self.filter_impl)
         ref0, ref2 = refs[:b], refs[b:]
         cur_output = ref0 / 2.0 + ref2 / 2.0
 
@@ -127,6 +129,8 @@ class DAINSlowMotion(nn.Module):
     filter_size: int = 4
     timestep: float = 0.5
     train_bn: bool = False
+    filter_impl: str = "block"   # 196-ch context exceeds the pallas VMEM
+                                 # budget; frames could use "pallas"
 
     def setup(self):
         fs2 = self.filter_size ** 2
@@ -181,9 +185,9 @@ class DAINSlowMotion(nn.Module):
                 jax.lax.stop_gradient(filt1), self.filter_size, impl="block")
 
             ref0 = filter_interpolate(i0, off0, filt0, self.filter_size,
-                                      impl="block")
+                                      impl=self.filter_impl)
             ref2 = filter_interpolate(i2, off1, filt1, self.filter_size,
-                                      impl="block")
+                                      impl=self.filter_impl)
             out = ref0 * (1.0 - t) + ref2 * t    # time-weighted fusion (:335)
 
             rectify_input = jnp.concatenate(

@@ -96,7 +96,8 @@ def _filter_interpolate_2d_onehot(image, flow, filt, filter_size):
         jax.lax.dynamic_slice_in_dim(ipad, dj, h, axis=0)
         for dj in range(fs)], axis=-1)                    # (h, w, fs*C)
     rows = jnp.einsum("yxv,vxk->yxk", onehot_v, row_ops,
-                      preferred_element_type=jnp.float32)  # (h, w, fs*C)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (h, w, fs*C)
 
     # ---- column taps on the row-gathered stack
     rpad = jnp.pad(rows, ((0, 0), (pad_lo, pad_hi), (0, 0)), mode="edge")
@@ -107,7 +108,8 @@ def _filter_interpolate_2d_onehot(image, flow, filt, filter_size):
         jax.lax.dynamic_slice_in_dim(rpad, di, w, axis=1)
         for di in range(fs)], axis=-1)                    # (h, w, fs*fs*C)
     taps = jnp.einsum("yxu,yuk->yxk", onehot_u, col_ops,
-                      preferred_element_type=jnp.float32)  # (h, w, fs*fs*C)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (h, w, fs*fs*C)
     # layout: k = di * (fs*C) + dj * C + c
     taps = taps.reshape(h, w, fs, fs, c)                   # (y, x, di, dj, c)
 
@@ -118,7 +120,8 @@ def _filter_interpolate_2d_onehot(image, flow, filt, filter_size):
     kweights = filt.reshape(h, w, fs, fs)                  # (y, x, dj, di)
     weight = kweights.transpose(0, 1, 3, 2) * wx[..., :, None] * wy[..., None, :]
     out = jnp.einsum("yxij,yxijc->yxc", weight, taps,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
 
     fallback = jax.lax.stop_gradient(image)
     return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
@@ -156,10 +159,72 @@ def _filter_interpolate_2d_block(image, flow, filt, filter_size):
     kweights = filt.reshape(h, w, fs, fs)                         # (y,x,dj,di)
     weight = kweights * wy[..., :, None] * wx[..., None, :]
     out = jnp.einsum("yxji,yxjic->yxc", weight, taps,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
 
     fallback = jax.lax.stop_gradient(image.astype(jnp.float32))
     return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
+
+
+def _combined_weights(filt, alpha, beta, filter_size):
+    """Per-tap weight = filter * separable quadrant blend, (H,W,fs*fs),
+    row-major (dj*fs + di)."""
+    h, w = alpha.shape
+    fs = filter_size
+    half = fs // 2
+    wx = jnp.stack([alpha if di >= half else 1.0 - alpha for di in range(fs)],
+                   axis=-1)
+    wy = jnp.stack([beta if dj >= half else 1.0 - beta for dj in range(fs)],
+                   axis=-1)
+    kweights = filt.reshape(h, w, fs, fs)               # (y,x,dj,di)
+    return (kweights * wy[..., :, None] * wx[..., None, :]).reshape(
+        h, w, fs * fs)
+
+
+def _pallas_prep(image, flow, filt, filter_size):
+    """Batched geometry/weight prep for the Pallas kernel."""
+    fs = filter_size
+    half = fs // 2
+    pad_lo, pad_hi = half - 1, fs - half
+
+    def per_image(image, flow, filt):
+        valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, fs)
+        weights = _combined_weights(filt, alpha, beta, fs)
+        return valid, iy_t + pad_lo, ix_l + pad_lo, weights
+
+    valid, base_v, base_u, weights = jax.vmap(per_image)(image, flow, filt)
+    ipad = jnp.pad(image.astype(jnp.float32),
+                   ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)),
+                   mode="edge")
+    return valid, base_v, base_u, weights, ipad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _filter_interpolate_pallas(image, flow, filt, filter_size):
+    """Fused TPU forward; batched (B,H,W,C).  Backward (defined below) reuses
+    the XLA 'block' formulation — identical math to the reference backward."""
+    from vfidkr_tpu.ops.pallas.filter_interp_kernel import filter_gather_pallas
+    valid, base_v, base_u, weights, ipad = _pallas_prep(
+        image, flow, filt, filter_size)
+    out = filter_gather_pallas(ipad, base_v, base_u, weights, fs=filter_size)
+    fallback = image.astype(jnp.float32)
+    return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
+
+
+def _fi_pallas_fwd(image, flow, filt, filter_size):
+    return (_filter_interpolate_pallas(image, flow, filt, filter_size),
+            (image, flow, filt))
+
+
+def _fi_pallas_bwd(filter_size, res, g):
+    image, flow, filt = res
+    block = jax.vmap(functools.partial(_filter_interpolate_2d_block,
+                                       filter_size=filter_size))
+    _, vjp = jax.vjp(block, image, flow, filt)
+    return vjp(g)
+
+
+_filter_interpolate_pallas.defvjp(_fi_pallas_fwd, _fi_pallas_bwd)
 
 
 def _filter_interpolate_2d(image: jax.Array, flow: jax.Array, filt: jax.Array,
@@ -233,6 +298,8 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
       f32, including its out-of-range copy-source fallback; gradients match
       the reference backward kernel (see module docstring).
     """
+    if impl == "pallas":
+        return _filter_interpolate_pallas(image, flow, filt, filter_size)
     fn = {
         "separable": _filter_interpolate_2d_onehot,
         "gather": _filter_interpolate_2d,

@@ -73,6 +73,75 @@ def _four_neighbour_lin(ix_l, ix_r, iy_t, iy_b, w):
     ]
 
 
+def _use_pallas() -> bool:
+    """Opt-in: the Pallas scatter kernel is bit-precise but its HIGHEST-
+    precision f32 matmuls at VMEM-fitting chunk sizes measured slower than
+    the XLA chunked einsum on v5e (12.7 vs ~6 ms/pair at 448x256); keep the
+    XLA path default until the kernel is retuned."""
+    import os
+    if os.environ.get("VFIDKR_PALLAS_SCATTER", "0") != "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def _scatter4_transpose(iy_t, iy_b, ix_l, ix_r, g, row_chunk=32):
+    """VJP of the 4-neighbour scatter w.r.t. vals: per-pixel sum of ``g`` over
+    its 4 target cells, as dense chunked matmuls (gather-free)."""
+    h, w = iy_t.shape
+    c = g.shape[-1]
+    g2 = g.reshape(h, w * c).astype(jnp.float32)
+    outs = []
+    for s in range(0, h, row_chunk):
+        e = min(s + row_chunk, h)
+        pc = (e - s) * w
+        vv = jax.lax.broadcasted_iota(jnp.int32, (pc, h), 1)
+        iyt = iy_t[s:e].reshape(pc, 1)
+        iyb = iy_b[s:e].reshape(pc, 1)
+        a = (vv == iyt).astype(jnp.float32) + (vv == iyb).astype(jnp.float32)
+        uu = jax.lax.broadcasted_iota(jnp.int32, (pc, w), 1)
+        ixl = ix_l[s:e].reshape(pc, 1)
+        ixr = ix_r[s:e].reshape(pc, 1)
+        b = (uu == ixl).astype(jnp.float32) + (uu == ixr).astype(jnp.float32)
+        t1 = jnp.matmul(a, g2,
+                        precision=jax.lax.Precision.HIGHEST).reshape(pc, w, c)
+        outs.append(jnp.einsum("pu,puc->pc", b, t1,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST))
+    return jnp.concatenate(outs, 0).reshape(h, w, c)
+
+
+@jax.custom_vjp
+def _scatter4(iy_t, iy_b, ix_l, ix_r, vals):
+    """Batched 4-neighbour scatter-add ((B,H,W) indices, (B,H,W,C) vals) with
+    a gather-free VJP.  Dispatches to the Pallas MXU kernel on TPU, else the
+    XLA chunked one-hot einsum.  Batch is handled inside the kernel as a grid
+    dimension (vmap over pallas_call would vectorise the body and blow VMEM).
+    """
+    if _use_pallas():
+        from vfidkr_tpu.ops.pallas.projection_kernel import scatter4_pallas
+        return scatter4_pallas(iy_t, iy_b, ix_l, ix_r, vals)
+    return jax.vmap(_scatter4_onehot)(iy_t, iy_b, ix_l, ix_r, vals)
+
+
+def _scatter4_fwd(iy_t, iy_b, ix_l, ix_r, vals):
+    return _scatter4(iy_t, iy_b, ix_l, ix_r, vals), (iy_t, iy_b, ix_l, ix_r)
+
+
+def _scatter4_bwd(res, g):
+    import numpy as _np
+    iy_t, iy_b, ix_l, ix_r = res
+    zero_int = lambda x: _np.zeros(x.shape, jax.dtypes.float0)
+    dvals = jax.vmap(_scatter4_transpose)(iy_t, iy_b, ix_l, ix_r, g)
+    return (zero_int(iy_t), zero_int(iy_b), zero_int(ix_l), zero_int(ix_r),
+            dvals)
+
+
+_scatter4.defvjp(_scatter4_fwd, _scatter4_bwd)
+
+
 def _scatter4_onehot(iy_t, iy_b, ix_l, ix_r, vals, row_chunk=32):
     """Scatter ``vals[y,x,c]`` into the 4 neighbour cells — as dense one-hot
     contractions on the MXU instead of a scatter HLO (TPU scatters serialise).
@@ -95,7 +164,8 @@ def _scatter4_onehot(iy_t, iy_b, ix_l, ix_r, vals, row_chunk=32):
         b = ((uu == ix_l[s:e, :, None]).astype(jnp.float32)
              + (uu == ix_r[s:e, :, None]).astype(jnp.float32))
         acc = acc + jnp.einsum("yxv,yxu,yxc->vuc", a, b, vals[s:e],
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     return acc
 
 
@@ -149,19 +219,19 @@ def fill_holes(count: jax.Array, out: jax.Array) -> jax.Array:
 # FlowProjection
 # ---------------------------------------------------------------------------
 
-def _flow_project_2d(flow, do_fill):
-    h, w = flow.shape[:2]
+def _scatter_prep(flow):
+    """Per-image landing/vals prep (vmapped around the batched scatter)."""
     fx, fy, valid, ix_l, ix_r, iy_t, iy_b = _landing(flow)
     validf = valid.astype(jnp.float32)
-
     vals = jnp.stack([-fx * validf, -fy * validf, validf], axis=-1)
-    accum = _scatter4_onehot(iy_t, iy_b, ix_l, ix_r, vals)
-    acc, cnt = accum[..., :2], accum[..., 2]
+    return iy_t, iy_b, ix_l, ix_r, vals
 
+
+def _finalize(acc, cnt, do_fill, dtype):
     out = jnp.where(cnt[..., None] > 0, acc / jnp.maximum(cnt, 1.0)[..., None], 0.0)
     if do_fill:
         out = fill_holes(jax.lax.stop_gradient(cnt), jax.lax.stop_gradient(out))
-    return out.astype(flow.dtype)
+    return out.astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("hole_fill",))
@@ -171,45 +241,52 @@ def flow_project(flow: jax.Array, hole_fill: bool = False) -> jax.Array:
     ``hole_fill`` mirrors the reference's inference-only behaviour
     (``FlowProjectionLayer.py:23``: fillhole = not requires_grad).
     """
-    return jax.vmap(functools.partial(_flow_project_2d, do_fill=hole_fill))(flow)
+    iy_t, iy_b, ix_l, ix_r, vals = jax.vmap(_scatter_prep)(flow)
+    accum = _scatter4(iy_t, iy_b, ix_l, ix_r, vals)
+    fin = functools.partial(_finalize, do_fill=hole_fill, dtype=flow.dtype)
+    return jax.vmap(fin)(accum[..., :2], accum[..., 2])
 
 
 # ---------------------------------------------------------------------------
 # DepthFlowProjection (depth-weighted average, custom reference-exact VJP)
 # ---------------------------------------------------------------------------
 
-def _depth_flow_project_fwd_2d(flow, depth_inv):
-    """Returns (out, cnt). depth_inv is (H,W) positive inverse depth."""
-    h, w = flow.shape[:2]
+def _depth_prep(flow, depth_inv):
+    """Per-image landing/vals prep for the depth-weighted scatter."""
     fx, fy, valid, ix_l, ix_r, iy_t, iy_b = _landing(flow)
     d = depth_inv.astype(jnp.float32) * valid.astype(jnp.float32)
-
     vals = jnp.stack([-fx * d, -fy * d, d], axis=-1)
-    accum = _scatter4_onehot(iy_t, iy_b, ix_l, ix_r, vals)
-    acc, cnt = accum[..., :2], accum[..., 2]
+    return iy_t, iy_b, ix_l, ix_r, vals
 
-    out = jnp.where(cnt[..., None] > 0, acc / jnp.maximum(cnt, 1e-30)[..., None], 0.0)
+
+def _depth_flow_project_fwd(flow, depth_inv):
+    """Batched forward. Returns (out, cnt); depth_inv (B,H,W) positive."""
+    iy_t, iy_b, ix_l, ix_r, vals = jax.vmap(_depth_prep)(flow, depth_inv)
+    accum = _scatter4(iy_t, iy_b, ix_l, ix_r, vals)
+    acc, cnt = accum[..., :2], accum[..., 2]
+    out = jnp.where(cnt[..., None] > 0,
+                    acc / jnp.maximum(cnt, 1e-30)[..., None], 0.0)
     return out, cnt
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _depth_flow_project_core(flow, depth_inv, hole_fill):
-    out, cnt = _depth_flow_project_fwd_2d(flow, depth_inv)
+    out, cnt = _depth_flow_project_fwd(flow, depth_inv)
     if hole_fill:
-        out = fill_holes(cnt, out)
+        out = jax.vmap(fill_holes)(cnt, out)
     return out.astype(flow.dtype)
 
 
 def _dfp_fwd(flow, depth_inv, hole_fill):
-    out, cnt = _depth_flow_project_fwd_2d(flow, depth_inv)
+    out, cnt = _depth_flow_project_fwd(flow, depth_inv)
     res = (flow, depth_inv, cnt, out)
     if hole_fill:
-        out = fill_holes(cnt, out)
+        out = jax.vmap(fill_holes)(cnt, out)
     return out.astype(flow.dtype), res
 
 
-def _dfp_bwd(hole_fill, res, g):
-    """Reference-exact backward (depthflowprojection_cuda_kernel.cu:242-340).
+def _dfp_bwd_2d(flow, depth_inv, cnt, out, g):
+    """Reference-exact per-image backward (see _dfp_bwd).
 
     grad_flow[p]  = -sum_n g[n] * d_p / cnt[n]            (4 neighbour cells n)
     grad_depth[p] = -sum_n sum_xy g_xy[n] / cnt[n] * (f_xy_p - out_xy[n])
@@ -219,13 +296,12 @@ def _dfp_bwd(hole_fill, res, g):
     cells never receive gradient in the reference (fillhole only runs at
     inference), matching this VJP which ignores the fill.
     """
-    flow, depth_inv, cnt, out = res
     h, w = flow.shape[:2]
     fx, fy, valid, ix_l, ix_r, iy_t, iy_b = _landing(flow)
     validf = valid.astype(jnp.float32)
     d = depth_inv.astype(jnp.float32)
 
-    g = g.astype(jnp.float32).reshape(h * w, 2)
+    g = g.reshape(h * w, 2)
     cnt_flat = jnp.maximum(cnt.reshape(-1), 1e-30)
     out_flat = out.reshape(h * w, 2)
 
@@ -246,6 +322,22 @@ def _dfp_bwd(hole_fill, res, g):
     return gflow, gdepth
 
 
+def _dfp_bwd(hole_fill, res, g):
+    """Batched reference-exact backward
+    (depthflowprojection_cuda_kernel.cu:242-340):
+
+    grad_flow[p]  = -sum_n g[n] * d_p / cnt[n]            (4 neighbour cells)
+    grad_depth[p] = -sum_n sum_xy g_xy[n] / cnt[n] * (f_xy_p - out_xy[n])
+
+    Note the reference's ``(f - out)`` term — true autodiff of the forward
+    would give ``(f + out)``; we replicate the reference formula.  Hole-filled
+    cells never receive gradient in the reference (fillhole only runs at
+    inference), matching this VJP which ignores the fill."""
+    flow, depth_inv, cnt, out = res
+    return jax.vmap(_dfp_bwd_2d)(flow, depth_inv, cnt, out,
+                                 g.astype(jnp.float32))
+
+
 _depth_flow_project_core.defvjp(_dfp_fwd, _dfp_bwd)
 
 
@@ -257,8 +349,7 @@ def depth_flow_project(flow: jax.Array, depth_inv: jax.Array,
     """
     if depth_inv.ndim == flow.ndim:
         depth_inv = depth_inv[..., 0]
-    return jax.vmap(functools.partial(_depth_flow_project_core, hole_fill=hole_fill))(
-        flow, depth_inv)
+    return _depth_flow_project_core(flow, depth_inv, hole_fill)
 
 
 # ---------------------------------------------------------------------------
