@@ -106,10 +106,10 @@ def _scatter4_transpose(iy_t, iy_b, ix_l, ix_r, g, row_chunk=32):
         ixr = ix_r[s:e].reshape(pc, 1)
         b = (uu == ixl).astype(jnp.float32) + (uu == ixr).astype(jnp.float32)
         t1 = jnp.matmul(a, g2,
-                        precision=jax.lax.Precision.HIGHEST).reshape(pc, w, c)
+                        precision=jax.lax.Precision.HIGH).reshape(pc, w, c)
         outs.append(jnp.einsum("pu,puc->pc", b, t1,
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST))
+                               precision=jax.lax.Precision.HIGH))
     return jnp.concatenate(outs, 0).reshape(h, w, c)
 
 
@@ -165,7 +165,7 @@ def _scatter4_onehot(iy_t, iy_b, ix_l, ix_r, vals, row_chunk=32):
              + (uu == ix_r[s:e, :, None]).astype(jnp.float32))
         acc = acc + jnp.einsum("yxv,yxu,yxc->vuc", a, b, vals[s:e],
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=jax.lax.Precision.HIGH)
     return acc
 
 
