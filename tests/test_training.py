@@ -122,3 +122,28 @@ def test_data_parallel_train_step_matches_single_device(rng):
                     jax.tree_util.tree_leaves(ref_grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_slowmotion_train_step_updates_batch_stats(rng):
+    """DAIN_slowmotion trains with MegaDepth BN in batch-stats mode; the
+    train step must thread batch_stats updates and freeze depth/ctx params
+    (reference excludes them from the optimizer)."""
+    from vfidkr_tpu.models import DAINSlowMotion
+
+    model = DAINSlowMotion(timestep=0.5, train_bn=True)
+    config = TrainConfig()
+    batch = _tiny_batch(rng, b=1, h=64, w=64)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), batch, config)
+    assert state.batch_stats, "MegaDepth BN stats expected"
+
+    bn0 = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+    d0 = jax.tree_util.tree_leaves(state.params["depth_net"])[0].copy()
+    state2, metrics = jax.jit(
+        lambda s, b: train_step(model, tx, s, b, config))(state, batch)
+
+    bn1 = jax.tree_util.tree_leaves(state2.batch_stats)[0]
+    assert float(jnp.abs(bn1 - bn0).max()) > 0          # running stats moved
+    d1 = jax.tree_util.tree_leaves(state2.params["depth_net"])[0]
+    assert float(jnp.abs(d1 - d0).max()) == 0           # depth net frozen
+    assert np.isfinite(float(metrics["total"]))

@@ -1,0 +1,65 @@
+"""Tracing / timing utilities — the reference's ad-hoc ``time.time()`` deltas
+and AverageMeters (SURVEY.md §5) replaced with jax.profiler traces and an
+honest device timer.
+
+``device_time``: on tunnelled TPU runtimes ``block_until_ready`` can return
+before execution completes, under-reporting by orders of magnitude; the only
+reliable measurement wraps the function in a feedback ``lax.scan`` (each
+iteration consumes the previous output, so nothing is loop-invariant) and
+fetches a reduced scalar with ``device_get``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (view with TensorBoard / xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_time(fn: Callable, x0, iters: int = 10, warmup: bool = True):
+    """Honest per-iteration device time of ``fn: x -> x_like`` in seconds."""
+
+    @jax.jit
+    def many(x):
+        def body(x, _):
+            return fn(x), ()
+        x, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(jnp.stack([jnp.sum(l) for l in
+                                  jax.tree_util.tree_leaves(x)]))
+
+    if warmup:
+        jax.device_get(many(x0))
+    t0 = time.perf_counter()
+    jax.device_get(many(x0))
+    return (time.perf_counter() - t0) / iters
+
+
+class Timer:
+    """Wall-clock section timer with an AverageMeter, mirroring the
+    proc_timer/loop_timer pattern of demo_MiddleBury.py:251-333."""
+
+    def __init__(self):
+        from vfidkr_tpu.utils.meters import AverageMeter
+        self.meter = AverageMeter()
+        self._t0 = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.meter.update(time.perf_counter() - self._t0)
+        return False
