@@ -150,7 +150,8 @@ def _scatter4_onehot(iy_t, iy_b, ix_l, ix_r, vals, row_chunk=32):
     border — reproducing the reference's double atomicAdd), ``B`` likewise
     over columns; the result is ``sum_{y,x} A*B*vals -> (v,u,c)``, accumulated
     over row chunks to bound the intermediate.  The einsum transpose gives the
-    backward as a dense gather-free contraction too.
+    backward as a dense gather-free contraction too.  (A bf16 hi/lo-split
+    variant measured no faster on v5e — the cost is not matmul passes.)
     """
     h, w = iy_t.shape
     c = vals.shape[-1]
