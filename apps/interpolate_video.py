@@ -71,11 +71,7 @@ def main():
 
     first = load(frames[0])
     x0p, pads = pad_to_multiple(jnp.asarray(first))
-    if args.model == "DAIN":
-        init_args = (x0p, x0p)
-    else:
-        init_args = (x0p, x0p)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), *init_args)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0p, x0p)
 
     if args.torch_checkpoint:
         from vfidkr_tpu.convert import convert_dain_state_dict, load_torch_state_dict
