@@ -44,13 +44,9 @@ def main():
 
     model = DAIN()
     params = None
-    fwd_cache = {}
-
-    def get_forward(shape):
-        if shape not in fwd_cache:
-            fwd_cache[shape] = jax.jit(
-                lambda p, a, b: model.apply(p, a, b)["outputs"][args.save_which])
-        return fwd_cache[shape]
+    # one jitted function; jax.jit caches one compilation per padded shape
+    fwd = jax.jit(
+        lambda p, a, b: model.apply(p, a, b)["outputs"][args.save_which])
 
     seqs = sorted(d for d in os.listdir(args.root)
                   if os.path.isdir(os.path.join(args.root, d)))
@@ -83,7 +79,6 @@ def main():
                 params = jax.device_put(ocp.StandardCheckpointer().restore(
                     args.checkpoint, jax.device_get(params)))
 
-        fwd = get_forward(x0p.shape)
         t0 = time.time()
         out = unpad(fwd(params, x0p, x1p), pads)
         out = jnp.clip(out, 0.0, 1.0)

@@ -38,7 +38,7 @@ def main():
     import jax.numpy as jnp
     from vfidkr_tpu.data import Vimeo90KDataset, prefetch, vimeo90k_splits
     from vfidkr_tpu.models import DAIN
-    from vfidkr_tpu.utils import psnr, ssim
+    from vfidkr_tpu.utils import pad_to_multiple, psnr, ssim, unpad
 
     model = DAIN()
     _, test_paths = vimeo90k_splits(args.dataset_path)
@@ -46,9 +46,9 @@ def main():
                          augment=False)
 
     rng = np.random.RandomState(0)
-    sample = {k: jnp.asarray(rng.rand(args.batch_size, 256, 448, 3), jnp.float32)
-              for k in ("x0", "x1")}
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample["x0"], sample["x1"])
+    sample_raw = jnp.asarray(rng.rand(args.batch_size, 256, 448, 3), jnp.float32)
+    sample, _ = pad_to_multiple(sample_raw)   # reference eval pads to 320x512
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample, sample)
 
     if args.torch_checkpoint:
         from vfidkr_tpu.convert import convert_dain_state_dict, load_torch_state_dict
@@ -69,8 +69,11 @@ def main():
 
     @jax.jit
     def step(params, x0, x1, y):
-        out = model.apply(params, x0, x1)["outputs"][which]
-        out = jnp.clip(out, 0.0, 1.0)
+        # replication padding + crop, matching demo_test_ourdata.py:273-291
+        x0p, pads = pad_to_multiple(x0)
+        x1p, _ = pad_to_multiple(x1)
+        out = model.apply(params, x0p, x1p)["outputs"][which]
+        out = jnp.clip(unpad(out, pads), 0.0, 1.0)
         return (psnr(jnp.round(out * 255.0), jnp.round(y * 255.0)),
                 ssim(out, y))
 

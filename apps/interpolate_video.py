@@ -53,10 +53,12 @@ def main():
     assert len(frames) >= 2, "need at least two frames"
     os.makedirs(args.out_dir, exist_ok=True)
 
+    if args.model == "DAIN" and args.time_step != 0.5:
+        ap.error("DAIN supports --time-step 0.5 only (networks/DAIN.py:36); "
+                 "use --model DAIN_slowmotion for other rates")
     kwargs = {"timestep": args.time_step} if args.model == "DAIN_slowmotion" \
         else {}
     model = build_model(args.model, **kwargs)
-    num_out = int(round(1.0 / args.time_step)) - 1
 
     def load(name):
         with Image.open(os.path.join(args.frames_dir, name)) as im:

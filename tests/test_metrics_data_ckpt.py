@@ -56,12 +56,20 @@ def test_psnr_ie_basics(rng):
 
 
 def test_pad_to_multiple(rng):
+    """Reference policy (demo_MiddleBury.py:294-312): unaligned dims pad to
+    the next 128-multiple (448 -> 512, split 32/32); aligned dims get exactly
+    32 per side (256 -> 320)."""
     x = jnp.asarray(rng.rand(1, 256, 448, 3), jnp.float32)
     padded, pads = pad_to_multiple(x, 128, 32)
-    assert padded.shape[1] % 128 == 0 and padded.shape[2] % 128 == 0
-    assert min(pads) >= 32
+    assert padded.shape[1:3] == (320, 512)
+    assert pads == (32, 32, 32, 32)
     back = unpad(padded, pads)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    x2 = jnp.asarray(rng.rand(1, 250, 440, 3), jnp.float32)
+    p2, pads2 = pad_to_multiple(x2, 128, 32)
+    assert p2.shape[1:3] == (256, 512)
+    assert pads2 == (36, 36, 3, 3)   # (left, right, top, bottom)
 
 
 def _make_synthetic_vimeo(tmp_path, n_seqs=4, hw=(64, 96)):

@@ -173,14 +173,18 @@ class Vimeo90KDataset:
 
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
-    """Host-side background prefetch (double buffering by default)."""
+    """Host-side background prefetch (double buffering by default).
+    Producer exceptions are re-raised in the consumer, not swallowed."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
 
     def producer():
-        for item in iterator:
-            q.put(item)
-        q.put(sentinel)
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as e:  # noqa: BLE001 — forwarded to consumer
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -188,4 +192,6 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

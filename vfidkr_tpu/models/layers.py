@@ -16,10 +16,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-# torch nn.init.kaiming_normal_(mode='fan_in') default gain (leaky_relu, a=0)
-kaiming_normal_fan_in = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
-
-
 def kaiming_normal_torch(key, shape, dtype=jnp.float32):
     """torch kaiming_normal_(mode='fan_in'): N(0, sqrt(2/fan_in)), HWIO shape."""
     fan_in = shape[0] * shape[1] * shape[2]

@@ -82,6 +82,7 @@ def _filter_interpolate_2d_onehot(image, flow, filt, filter_size):
     pad_lo, pad_hi = half - 1, fs - half   # tap range [i - (half-1), i + (fs-half)]
 
     valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, filter_size)
+    in_dtype = image.dtype
     image = image.astype(jnp.float32)
 
     # ---- row taps: one one-hot over H, fs row-shifted copies share it.
@@ -124,7 +125,7 @@ def _filter_interpolate_2d_onehot(image, flow, filt, filter_size):
                      precision=jax.lax.Precision.HIGHEST)
 
     fallback = jax.lax.stop_gradient(image)
-    return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
+    return jnp.where(valid[..., None], out, fallback).astype(in_dtype)
 
 
 def _filter_interpolate_2d_block(image, flow, filt, filter_size):

@@ -36,10 +36,12 @@ def unflatten_tree(flat):
     return tree
 
 
-def filtered_partial_load(target_tree, ckpt_tree, strict_shapes=True):
+def filtered_partial_load(target_tree, ckpt_tree, strict_shapes=False):
     """Overlay ckpt entries onto target, dropping keys absent from the target
-    (and, unlike the reference, also shape mismatches when not strict —
-    the reference would hard-fail there)."""
+    (the reference's key-intersection semantics, train.py:51-57).  With
+    ``strict_shapes=True`` a key that exists but has a mismatched shape
+    raises (the reference's load_state_dict would hard-fail there); by
+    default it is skipped and reported."""
     tgt = flatten_tree(target_tree)
     ck = flatten_tree(ckpt_tree)
     merged = dict(tgt)
@@ -49,6 +51,10 @@ def filtered_partial_load(target_tree, ckpt_tree, strict_shapes=True):
             merged[path] = v
             loaded.append(path)
         else:
+            if strict_shapes and path in tgt:
+                raise ValueError(
+                    f"shape mismatch for {'.'.join(path)}: checkpoint "
+                    f"{np.shape(v)} vs target {np.shape(tgt[path])}")
             skipped.append(path)
     return unflatten_tree(merged), loaded, skipped
 

@@ -116,15 +116,26 @@ def _model_losses(model, variables, batch, config: TrainConfig, train,
     else:
         res, updates = out, {}
     outputs = res["outputs"]
-    # DAIN: [out, rect]; slow-motion: [[out_k...], [rect_k...]]
+    # DAIN: [out, rect]; slow-motion: [[out_k...], [rect_k...]].  The dataset
+    # provides one mid-frame GT, so multi-frame training is only meaningful
+    # at time_step=0.5 (the reference's slow-motion train path is broken for
+    # other steps: list-minus-tensor at DAIN_slowmotion.py:189); we average
+    # per-frame *losses* (not diffs — errors must not cancel across frames).
     if isinstance(outputs[0], (list, tuple)):
-        diffs = [sum(o - batch["y"] for o in outs) / len(outs)
-                 for outs in outputs]
+        diffs = [[o - batch["y"] for o in outs] for outs in outputs]
+        pixel_fn = (L.neg_psnr_loss if config.use_neg_psnr
+                    else L.charbonnier_loss)
+        pixel = [sum(pixel_fn(d, config.epsilon) for d in ds) / len(ds)
+                 for ds in diffs]
+        _, offset, sym = L.part_loss(
+            [ds[-1] for ds in diffs], res["offsets"],
+            [batch["x0"], batch["x1"]], config.epsilon, config.use_neg_psnr)
+        diffs = [ds[-1] for ds in diffs]
     else:
         diffs = [o - batch["y"] for o in outputs]
-    pixel, offset, sym = L.part_loss(
-        diffs, res["offsets"], [batch["x0"], batch["x1"]], config.epsilon,
-        config.use_neg_psnr)
+        pixel, offset, sym = L.part_loss(
+            diffs, res["offsets"], [batch["x0"], batch["x1"]], config.epsilon,
+            config.use_neg_psnr)
     total = L.total_loss(pixel, config.alpha)
     aux = {
         "pixel": jnp.stack(pixel),
@@ -160,8 +171,11 @@ def train_step(model, tx, state: TrainState, batch, config: TrainConfig):
 
 
 def eval_step(model, state: TrainState, batch, config: TrainConfig):
+    """Validation (train.py:233-260). The reference validates under
+    torch.no_grad(), so FlowProjection runs with fillhole=1 (requires_grad is
+    False, FlowProjectionLayer.py:23) — hence train=False here."""
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
-    total, aux = _model_losses(model, variables, batch, config, True, False)
+    total, aux = _model_losses(model, variables, batch, config, False, False)
     return {k: aux[k] for k in ("pixel", "tv", "sym", "total", "psnr")}

@@ -15,20 +15,21 @@ from vfidkr_tpu.models.layers import replication_pad
 def pad_to_multiple(x, multiple: int = 128, min_pad: int = 32):
     """x: (B,H,W,C) -> (padded, (left, right, top, bottom)).
 
-    Mirrors demo_MiddleBury.py:294-312: grow each side by >= min_pad, rounded
-    so the padded dims are multiples of ``multiple``, split evenly
-    (left = floor(total/2)).
+    Exactly demo_MiddleBury.py:294-312 (same in demo_test_ourdata.py:273-291):
+    a dim NOT divisible by ``multiple`` is padded up to the next multiple,
+    split evenly with the smaller half on the left/top; a dim that IS
+    divisible gets exactly ``min_pad`` on each side (so e.g. 256 -> 320 —
+    the result is only guaranteed divisible by 64, which is what the nets
+    need).
     """
     h, w = x.shape[1], x.shape[2]
 
     def pads(dim):
-        if dim % multiple == 0 and min_pad == 0:
-            return 0, 0
-        total = multiple - dim % multiple if dim % multiple else 0
-        while total < 2 * min_pad:
-            total += multiple
-        lo = total // 2
-        return lo, total - lo
+        if dim % multiple:
+            total = multiple - dim % multiple
+            lo = total // 2
+            return lo, total - lo
+        return min_pad, min_pad
 
     top, bottom = pads(h)
     left, right = pads(w)
