@@ -321,3 +321,43 @@ def separable_conv_flow_fwd(vert, horiz):
                 num = (np.arange(fs) * k[y, x]).sum()
                 out[y, x, ch] = num / s - center if abs(s) > 0 else -2000.0
     return out
+
+
+def interpolate_bilinear_bwd(image, flow, grad_out):
+    """Interpolation backward kernel (interpolation_cuda_kernel.cu:103-204).
+    Returns (g_image, g_flow).  Note the boundary quirk: gamma = iy2_B - y2
+    goes negative at clamped borders, but the clamped-tap identities make it
+    agree with autodiff of the forward everywhere."""
+    h, w, c = image.shape
+    gi = np.zeros_like(image, np.float32)
+    gf = np.zeros((h, w, 2), np.float32)
+    for y in range(h):
+        for x in range(w):
+            fx = np.float32(flow[y, x, 0])
+            fy = np.float32(flow[y, x, 1])
+            x2 = np.float32(x) + fx
+            y2 = np.float32(y) + fy
+            if not (x2 >= 0 and y2 >= 0 and x2 < w and y2 < h):
+                continue
+            ixl, iyt = int(x2), int(y2)
+            ixr, iyb = min(ixl + 1, w - 1), min(iyt + 1, h - 1)
+            a, b = x2 - ixl, y2 - iyt
+            for ci in range(c):
+                g = grad_out[y, x, ci]
+                gi[iyt, ixl, ci] += g * (1 - a) * (1 - b)
+                gi[iyt, ixr, ci] += g * a * (1 - b)
+                gi[iyb, ixl, ci] += g * (1 - a) * b
+                gi[iyb, ixr, ci] += g * a * b
+            gamma = iyb - y2
+            gf[y, x, 0] = sum(
+                grad_out[y, x, ci]
+                * (gamma * (image[iyt, ixr, ci] - image[iyt, ixl, ci])
+                   + (1 - gamma) * (image[iyb, ixr, ci] - image[iyb, ixl, ci]))
+                for ci in range(c))
+            gamma = ixr - x2
+            gf[y, x, 1] = sum(
+                grad_out[y, x, ci]
+                * (gamma * (image[iyb, ixl, ci] - image[iyt, ixl, ci])
+                   + (1 - gamma) * (image[iyb, ixr, ci] - image[iyt, ixr, ci]))
+                for ci in range(c))
+    return gi, gf

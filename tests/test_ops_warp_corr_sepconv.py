@@ -90,3 +90,23 @@ def test_separable_conv_flow_forward(rng):
     want = golden.separable_conv_flow_fwd(vert, horiz)
     got = np.asarray(separable_conv_flow(vert[None], horiz[None]))[0]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_interpolate_bilinear_backward(rng):
+    """Autodiff of our forward must reproduce the reference backward kernel
+    (interpolation_cuda_kernel.cu:103-204), including the clamped-border
+    gamma behaviour."""
+    import jax
+
+    image = rng.rand(8, 10, 3).astype(np.float32)
+    flow = ((rng.rand(8, 10, 2) - 0.5) * 6).astype(np.float32)
+    flow[0, 0] = (8.7, 6.5)     # lands in the clamped bottom-right corner
+    flow[7, 9] = (-9.2, -6.8)   # lands near the top-left corner
+    g = rng.rand(8, 10, 3).astype(np.float32)
+
+    _, vjp = jax.vjp(lambda a, b: interpolate_bilinear(a[None], b[None])[0],
+                     jnp.asarray(image), jnp.asarray(flow))
+    gi, gf = (np.asarray(t) for t in vjp(jnp.asarray(g)))
+    want_gi, want_gf = golden.interpolate_bilinear_bwd(image, flow, g)
+    np.testing.assert_allclose(gi, want_gi, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(gf, want_gf, rtol=1e-4, atol=1e-4)
