@@ -121,7 +121,8 @@ def _make_kernel(h: int, w: int, c: int):
         out_ref[0] += jax.lax.dot_general(
             a3, b, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH).reshape(c, h, w)
+            # Mosaic supports only DEFAULT/HIGHEST in-kernel (no HIGH)
+            precision=jax.lax.Precision.HIGHEST).reshape(c, h, w)
 
     return kernel
 
