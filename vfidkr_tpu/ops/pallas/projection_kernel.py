@@ -64,10 +64,12 @@ def scatter4_pallas_partial(iy_t, iy_b, ix_l, ix_r, vals, chunk: int = 512,
     the partials are summed in XLA.  Avoids whole-grid output revisiting.
 
     Measured (v5e, 448x256 pair): 6.1 ms — 2x faster than the revisiting
-    HIGHEST kernel but only ties the XLA einsum path, and the bf16 hi/lo
-    result drifts ~0.045 abs (as if one bf16 rounding applied to the
-    accumulated sums — under investigation; suspect the Mosaic bf16 dot's
-    accumulation differs from documented f32).  Not wired as a default."""
+    HIGHEST kernel but only ties the XLA einsum path, and the result drifts
+    ~0.045 abs: isolated experiment confirms Mosaic's bf16x bf16 dot with
+    preferred_element_type=f32 does NOT accumulate in f32 (0.21 max error on
+    bf16-exact inputs whose true sums fit f32) — so in-kernel bf16 dots
+    cannot give reference-grade sums on this toolchain, and only the 6-pass
+    HIGHEST f32 dot is accurate.  Not wired as a default."""
     bsz, h, w = iy_t.shape
     c = vals.shape[-1]
     p_total = h * w
