@@ -361,3 +361,46 @@ def interpolate_bilinear_bwd(image, flow, grad_out):
                    + (1 - gamma) * (image[iyb, ixr, ci] - image[iyt, ixr, ci]))
                 for ci in range(c))
     return gi, gf
+
+
+def separable_conv_bwd(image, vert, horiz, grad_out):
+    """SeparableConvLayer_gpu_backward_kernelfunc
+    (separableconv_cuda_kernel.cu:85-134). Returns (g_image, g_vert, g_horiz)."""
+    h, w, c = image.shape
+    fs = vert.shape[-1]
+    ho, wo = h - fs + 1, w - fs + 1
+    gi = np.zeros_like(image, np.float32)
+    gv = np.zeros_like(vert, np.float32)
+    gh = np.zeros_like(horiz, np.float32)
+    for y in range(ho):
+        for x in range(wo):
+            for ci in range(c):
+                g = grad_out[y, x, ci]
+                for j in range(fs):
+                    for i in range(fs):
+                        t1 = image[y + j, x + i, ci]
+                        t2 = vert[y, x, j]
+                        t3 = horiz[y, x, i]
+                        gi[y + j, x + i, ci] += g * t2 * t3
+                        gv[y, x, j] += g * t1 * t3
+                        gh[y, x, i] += g * t1 * t2
+    return gi, gv, gh
+
+
+def separable_conv_flow_bwd(vert, horiz, grad_flow):
+    """SeparableConvFlowLayer_gpu_backward_kernelfunc
+    (separableconvflow_cuda_kernel.cu:96-172). Returns (g_vert, g_horiz)."""
+    ho, wo, fs = vert.shape
+    gv = np.zeros_like(vert, np.float32)
+    gh = np.zeros_like(horiz, np.float32)
+    for y in range(ho):
+        for x in range(wo):
+            for k, ch, grad in ((vert, 1, gv), (horiz, 0, gh)):
+                s = k[y, x].sum()
+                num = (np.arange(fs) * k[y, x]).sum()
+                if abs(s) > 0:
+                    g = grad_flow[y, x, ch]
+                    off = num / (s * s)
+                    for j in range(fs):
+                        grad[y, x, j] += g * (j / s - off)
+    return gv, gh

@@ -110,3 +110,43 @@ def test_interpolate_bilinear_backward(rng):
     want_gi, want_gf = golden.interpolate_bilinear_bwd(image, flow, g)
     np.testing.assert_allclose(gi, want_gi, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(gf, want_gf, rtol=1e-4, atol=1e-4)
+
+
+def test_separable_conv_backward(rng):
+    """Autodiff must reproduce the reference backward
+    (separableconv_cuda_kernel.cu:85-134)."""
+    import jax
+
+    image = rng.rand(9, 11, 3).astype(np.float32)
+    fs = 4
+    ho, wo = 9 - fs + 1, 11 - fs + 1
+    vert = rng.rand(ho, wo, fs).astype(np.float32)
+    horiz = rng.rand(ho, wo, fs).astype(np.float32)
+    g = rng.rand(ho, wo, 3).astype(np.float32)
+
+    _, vjp = jax.vjp(
+        lambda a, v, h: separable_conv(a[None], v[None], h[None])[0],
+        jnp.asarray(image), jnp.asarray(vert), jnp.asarray(horiz))
+    gi, gv, gh = (np.asarray(t) for t in vjp(jnp.asarray(g)))
+    want = golden.separable_conv_bwd(image, vert, horiz, g)
+    for got, w_ in zip((gi, gv, gh), want):
+        np.testing.assert_allclose(got, w_, rtol=1e-4, atol=1e-5)
+
+
+def test_separable_conv_flow_backward(rng):
+    """Autodiff must reproduce the reference backward incl. the zero-sum
+    skip (separableconvflow_cuda_kernel.cu:96-172)."""
+    import jax
+
+    fs, ho, wo = 4, 6, 7
+    vert = rng.rand(ho, wo, fs).astype(np.float32)
+    horiz = rng.rand(ho, wo, fs).astype(np.float32)
+    vert[2, 3] = 0.0    # zero-sum row: sentinel output, zero gradient
+    g = rng.rand(ho, wo, 2).astype(np.float32)
+
+    _, vjp = jax.vjp(lambda v, h: separable_conv_flow(v[None], h[None])[0],
+                     jnp.asarray(vert), jnp.asarray(horiz))
+    gv, gh = (np.asarray(t) for t in vjp(jnp.asarray(g)))
+    want_gv, want_gh = golden.separable_conv_flow_bwd(vert, horiz, g)
+    np.testing.assert_allclose(gv, want_gv, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(gh, want_gh, rtol=1e-4, atol=1e-5)
