@@ -67,6 +67,14 @@ def main():
     log_path = os.path.join(args.save_path, "log.txt")
     open(log_path, "w").close()
 
+    # tensorboard scalars (Train/Loss, Test/Loss, Test/PSNR — the reference's
+    # tensorboardX tags, train.py:209,274-275); optional
+    try:
+        from flax.metrics import tensorboard as _tb
+        tb = _tb.SummaryWriter(os.path.join(args.save_path, "tb"))
+    except Exception:
+        tb = None
+
     config = TrainConfig(
         lr=args.lr, rectify_lr=args.rectify_lr,
         flow_lr_coe=args.flow_lr_coe, filter_lr_coe=args.filter_lr_coe,
@@ -151,6 +159,11 @@ def main():
         rows.append([epoch, float(state.plateau.scale), train_avg, val_avg,
                      psnr_avg])
         np.savetxt(log_path, np.asarray(rows), fmt="%.8f", delimiter=",")
+        if tb is not None:
+            tb.scalar("Train/Loss", round(train_avg, 5), epoch)
+            tb.scalar("Test/Loss", round(val_avg, 5), epoch)
+            tb.scalar("Test/PSNR", round(psnr_avg, 5), epoch)
+            tb.flush()
 
         if val_avg <= best_val:
             best_val = val_avg
