@@ -101,20 +101,32 @@ def main():
         Image.fromarray(
             np.asarray(np.round(img01[0] * 255.0), np.uint8)).save(path)
 
+    # decode runs ahead via prefetch(); PNG encode runs behind in a worker
+    # pool, so the device streams pairs back-to-back (the reference
+    # round-trips GPU->host->PNG serially per frame, colab_interpolate.py:64-156)
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=4)
+    pending = []
+
     t0 = time.time()
     produced = 0
     for idx, (a, b) in enumerate(prefetch(frame_pairs(), 2), start=1):
         ap_, pads = pad_to_multiple(jnp.asarray(a))
         bp_, _ = pad_to_multiple(jnp.asarray(b))
         outs = interp(variables, ap_, bp_)
-        save(os.path.join(args.out_dir, f"{idx:05d}000.png"), a)
+        pending.append(pool.submit(
+            save, os.path.join(args.out_dir, f"{idx:05d}000.png"), a))
         for k, o in enumerate(outs, start=1):
-            save(os.path.join(args.out_dir, f"{idx:05d}{k:03d}.png"),
-                 np.asarray(unpad(o, pads)))
+            img = np.asarray(unpad(o, pads))
+            pending.append(pool.submit(
+                save, os.path.join(args.out_dir, f"{idx:05d}{k:03d}.png"), img))
             produced += 1
-    # pass-through final frame
-    save(os.path.join(args.out_dir, f"{len(frames):05d}000.png"),
-         load(frames[-1]))
+    pending.append(pool.submit(
+        save, os.path.join(args.out_dir, f"{len(frames):05d}000.png"),
+        load(frames[-1])))
+    for f in pending:
+        f.result()
+    pool.shutdown()
     dt = time.time() - t0
 
     print(json.dumps({
