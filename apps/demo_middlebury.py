@@ -16,7 +16,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -33,6 +32,9 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--torch-checkpoint", default=None)
     ap.add_argument("--save-which", type=int, default=1)
+    ap.add_argument("--measure-time", action="store_true",
+                    help="measure honest per-pair device time (compiles a "
+                         "feedback scan; adds ~2-3 min of compile)")
     args = ap.parse_args()
 
     import jax
@@ -79,11 +81,15 @@ def main():
                 params = jax.device_put(ocp.StandardCheckpointer().restore(
                     args.checkpoint, jax.device_get(params)))
 
-        t0 = time.time()
+        if args.measure_time and not times:
+            # Honest device timing, measured once per padded shape: a feedback
+            # scan + device_get (utils.profiling.device_time) — wall-clock
+            # around block_until_ready under-reports >100x on tunnelled TPU
+            # runtimes (see CLAUDE.md timing rule).
+            from vfidkr_tpu.utils.profiling import device_time
+            times.append(device_time(lambda a: fwd(params, a, x1p), x0p))
         out = unpad(fwd(params, x0p, x1p), pads)
         out = jnp.clip(out, 0.0, 1.0)
-        out.block_until_ready()
-        times.append(time.time() - t0)
 
         out255 = jnp.round(out * 255.0)
         gt255 = jnp.round(jnp.asarray(gt) * 255.0)
@@ -102,7 +108,7 @@ def main():
         "avg_ie": float(np.mean(ies)),
         "avg_psnr": float(np.mean(psnrs)),
         "avg_ssim": float(np.mean(ssims)),
-        "avg_proc_time_s": float(np.mean(times[1:]) if len(times) > 1 else times[0]),
+        "device_time_per_pair_s": float(np.mean(times)) if times else None,
         "sequences": len(seqs),
     }))
 

@@ -55,6 +55,26 @@ def test_psnr_ie_basics(rng):
                float(np.abs(a - b).mean())) < 1e-4
 
 
+def test_psnr_batched_averages_per_image(rng):
+    """Reference protocol (demo_test_ourdata.py:368-388) averages per-image
+    PSNRs; with two images of unequal error, a pooled-MSE PSNR is strictly
+    lower than the per-image mean — guard against that regression."""
+    gt = (rng.rand(2, 16, 16, 3) * 255).astype(np.float32)
+    pred = gt.copy()
+    pred[0] = np.clip(gt[0] + 2, 0, 255)    # small error
+    pred[1] = np.clip(gt[1] + 40, 0, 255)   # large error
+
+    def one(p, g):
+        mse = np.mean((p - g) ** 2)
+        return 20.0 * np.log10(255.0 / np.sqrt(mse))
+
+    expected = (one(pred[0], gt[0]) + one(pred[1], gt[1])) / 2.0
+    got = float(psnr(jnp.asarray(pred), jnp.asarray(gt)))
+    assert abs(got - expected) < 1e-3
+    pooled = one(pred, gt)
+    assert got > pooled + 0.5  # the two protocols genuinely differ here
+
+
 def test_pad_to_multiple(rng):
     """Reference policy (demo_MiddleBury.py:294-312): unaligned dims pad to
     the next 128-multiple (448 -> 512, split 32/32); aligned dims get exactly

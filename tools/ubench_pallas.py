@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Mosaic/TPU micro-benchmarks for the round-2 kernel designs (docs/ROADMAP.md).
+
+Answers, empirically on the real chip:
+  E1  in-kernel dot precision: does a DEFAULT-precision f32 dot accumulate in
+      f32 (MXU native) when fed bf16-exact values?  Same for bf16 inputs.
+      -> decides whether the projection kernel can use 2-pass hi/lo splits
+         instead of the 6-pass HIGHEST dot.
+  E2  take_along_axis lane-shuffle throughput on (rows, 128) tiles
+      -> stage-1 cost of the bounded-slab filter_interpolate kernel.
+  E3  compare+select row-ladder throughput
+      -> stage-2 cost of the same kernel.
+
+Run: python tools/ubench_pallas.py [e1|e2|e3|all]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def device_time(fn, x0, iters=30):
+    @jax.jit
+    def many(x):
+        def body(x, _):
+            return fn(x), ()
+        x, _ = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(jnp.stack([jnp.sum(l) for l in jax.tree_util.tree_leaves(x)]))
+
+    jax.device_get(many(x0))
+    t0 = time.perf_counter()
+    jax.device_get(many(x0))
+    return (time.perf_counter() - t0) / iters
+
+
+# ---------------------------------------------------------------------------
+# E1: in-kernel dot accumulation precision
+# ---------------------------------------------------------------------------
+
+def e1_dot_precision():
+    """One-hot-style dot: A (P, H) 0/1-valued, V (P, C) values; out = A^T? ...
+    we use out[h, c] = sum_p A[p, h] * V[p, c] — the projection kernel shape.
+    Values are constructed bf16-exact; the true sum needs f32 accumulation
+    (many same-magnitude adds -> bf16 running sum loses low bits).
+    """
+    P, H, C = 4096, 256, 8
+    rng = np.random.RandomState(0)
+    # bf16-exact values: random sign * (1 + k/256) * 2^e, k in [0,256) -> 8
+    # mantissa bits, exactly bf16
+    mant = rng.randint(0, 256, size=(P, C)).astype(np.float32)
+    vals = (1.0 + mant / 256.0) * np.sign(rng.rand(P, C) - 0.3)
+    a = (rng.rand(P, H) < 0.02).astype(np.float32)  # sparse one-hot-ish
+    ref = a.astype(np.float64).T @ vals.astype(np.float64)
+
+    results = {}
+
+    def make_dot(in_dtype, precision):
+        def kernel(a_ref, v_ref, o_ref):
+            o_ref[:] = jax.lax.dot_general(
+                a_ref[:].astype(in_dtype), v_ref[:].astype(in_dtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)
+
+        @jax.jit
+        def run(a, v):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((H, C), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(a, v)
+        return run
+
+    cases = {
+        "f32xf32_DEFAULT": (jnp.float32, jax.lax.Precision.DEFAULT),
+        "f32xf32_HIGHEST": (jnp.float32, jax.lax.Precision.HIGHEST),
+        "bf16xbf16_DEFAULT": (jnp.bfloat16, jax.lax.Precision.DEFAULT),
+    }
+    for name, (dt, prec) in cases.items():
+        try:
+            out = np.asarray(make_dot(dt, prec)(jnp.asarray(a), jnp.asarray(vals)))
+            err = np.abs(out - ref).max()
+            results[name] = err
+            print(f"E1 {name:22s} max_abs_err = {err:.3e}")
+        except Exception as e:  # noqa: BLE001
+            print(f"E1 {name:22s} FAILED: {type(e).__name__}: {e}")
+
+    # hi/lo split f32 values (each part bf16-exact) at DEFAULT
+    vals_f = vals + rng.rand(P, C).astype(np.float32) * 1e-3  # full f32 entropy
+    ref_f = a.astype(np.float64).T @ vals_f.astype(np.float64)
+    hi = vals_f.astype(np.float32).astype(jnp.bfloat16).astype(np.float32)
+    lo = vals_f - hi
+    run = make_dot(jnp.float32, jax.lax.Precision.DEFAULT)
+    out = np.asarray(run(jnp.asarray(a), jnp.asarray(hi))) + \
+        np.asarray(run(jnp.asarray(a), jnp.asarray(lo)))
+    err = np.abs(out - ref_f).max() / np.abs(ref_f).max()
+    print(f"E1 {'hi/lo f32 DEFAULT':22s} rel_err     = {err:.3e}")
+    return results
+
+
+# ---------------------------------------------------------------------------
+# E2: take_along_axis throughput
+# ---------------------------------------------------------------------------
+
+def e2_taa(rows=384, reps=32):
+    """reps lane-shuffles of an (rows, 128) f32 tile, chained (anti-fusion)."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(rows, 128), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, 128, size=(rows, 128)), jnp.int32)
+
+    def kernel(x_ref, i_ref, o_ref):
+        acc = x_ref[:]
+        for _ in range(reps):
+            acc = jnp.take_along_axis(acc, i_ref[:], axis=1) + 1.0
+        o_ref[:] = acc
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x, idx)
+
+    try:
+        dt = device_time(run, x)
+        per = dt / reps
+        print(f"E2 TAA ({rows},128) f32: {per*1e6:.2f} us/shuffle "
+              f"({per/rows*1e9:.2f} ns/row, total {dt*1e3:.3f} ms for {reps})")
+    except Exception as e:  # noqa: BLE001
+        print(f"E2 TAA FAILED: {type(e).__name__}: {e}")
+
+
+# ---------------------------------------------------------------------------
+# E3: compare+select ladder throughput
+# ---------------------------------------------------------------------------
+
+def e3_ladder(s=128, reps=8):
+    """Row-select ladder: for each of `reps` rounds, compute
+    sum_r (riota == base + round) * data[r, :] over an (s, 128) tile —
+    the stage-2 pattern (4 of these per (oy, di))."""
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.rand(s, 128), jnp.float32)
+    base = jnp.asarray(rng.randint(0, s - reps, size=(1, 128)), jnp.int32)
+
+    def kernel(d_ref, b_ref, o_ref):
+        riota = jax.lax.broadcasted_iota(jnp.int32, (s, 128), 0)
+        acc = jnp.zeros((1, 128), jnp.float32)
+        d = d_ref[:]
+        b = b_ref[:]
+        for k in range(reps):
+            m = (riota == b + k).astype(jnp.float32)
+            acc = acc + jnp.sum(m * d, axis=0, keepdims=True)
+        o_ref[:] = acc
+
+    @jax.jit
+    def run(d):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(d)
+
+    try:
+        dt = device_time(run, data)
+        per = dt / reps
+        print(f"E3 ladder ({s},128): {per*1e6:.2f} us per masked-reduce "
+              f"(total {dt*1e3:.3f} ms for {reps})")
+    except Exception as e:  # noqa: BLE001
+        print(f"E3 ladder FAILED: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print("devices:", jax.devices())
+    if which in ("e1", "all"):
+        e1_dot_precision()
+    if which in ("e2", "all"):
+        e2_taa()
+    if which in ("e3", "all"):
+        e3_ladder()

@@ -25,10 +25,19 @@ def interpolation_error(pred_255, gt_255):
 
 
 def psnr(pred_255, gt_255):
-    """demo_MiddleBury.py:368-371: MSE on [0,255] -> 20*log10(255/sqrt(MSE))."""
+    """demo_MiddleBury.py:368-371: MSE on [0,255] -> 20*log10(255/sqrt(MSE)).
+
+    The reference protocol averages *per-image* PSNRs over the eval set
+    (demo_test_ourdata.py:368-388), never a pooled-MSE PSNR.  Batched (4-D)
+    inputs therefore reduce MSE per image and return the mean of the
+    per-image PSNRs; 3-D inputs are a single image.
+    """
     diff = pred_255.astype(jnp.float32) - gt_255.astype(jnp.float32)
-    mse = jnp.mean(diff * diff)
-    return 20.0 * jnp.log10(255.0 / jnp.sqrt(mse))
+    if diff.ndim == 4:
+        mse = jnp.mean(diff * diff, axis=(1, 2, 3))
+    else:
+        mse = jnp.mean(diff * diff)
+    return jnp.mean(20.0 * jnp.log10(255.0 / jnp.sqrt(mse)))
 
 
 def _gauss_kernel_1d(size=11, sigma=1.5):
