@@ -1,0 +1,74 @@
+"""Banded one-hot-matmul Pallas path (impl="slab") parity vs the gather
+oracle — interpret mode on CPU (tests/conftest.py forces JAX_PLATFORMS=cpu).
+
+Covers VERDICT round-1 item 1: an interpret-mode parity test for the default
+TPU kernel, including the |flow| <= (rv, rh) exactness contract's lax.cond
+fallback and the custom-vjp backward (reference backward math:
+filterinterpolation_cuda_kernel.cu:2827-3125).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vfidkr_tpu.ops import filter_interpolate
+from vfidkr_tpu.ops.filter_interpolation import _bandmm_pallas_params
+
+
+def _case(rng, b=1, h=16, w=32, c=3, flow_scale=6.0):
+    image = rng.rand(b, h, w, c).astype(np.float32)
+    flow = (rng.rand(b, h, w, 2).astype(np.float32) - 0.5) * 2 * flow_scale
+    filt = rng.rand(b, h, w, 16).astype(np.float32)
+    return jnp.asarray(image), jnp.asarray(flow), jnp.asarray(filt)
+
+
+def test_slab_matches_oracle(rng):
+    image, flow, filt = _case(rng, b=2)
+    want = filter_interpolate(image, flow, filt, impl="gather")
+    got = filter_interpolate(image, flow, filt, impl="slab")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_slab_oversize_flow_conds_to_exact_path(rng):
+    """Flows beyond the slab bounds must trigger the whole-call lax.cond
+    fallback and stay reference-exact (incl. the out-of-range copy)."""
+    image, flow, filt = _case(rng, h=16, w=224)   # tw=112 -> 2 column tiles
+    # valid landing but base_u leaves tile 0's slab (x=111, fx=+40 > rh=32)
+    flow = flow.at[0, 3, 111].set(jnp.asarray([40.0, 1.0]))
+    flow = flow.at[0, 8, 8].set(jnp.asarray([500.0, 0.0]))    # invalid: copy
+    want = filter_interpolate(image, flow, filt, impl="gather")
+    got = filter_interpolate(image, flow, filt, impl="slab")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_slab_backward_matches_block(rng):
+    image, flow, filt = _case(rng)
+
+    def loss(impl):
+        def f(im, fl, ke):
+            return jnp.sum(filter_interpolate(im, fl, ke, impl=impl) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(image, flow, filt)
+
+    for a, b_, name in zip(loss("slab"), loss("block"),
+                           ("image", "flow", "filt")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_slab_param_selection_falls_back_for_wide_channels():
+    # context tensors (196 ch) exceed the kernel's VMEM slab budget
+    assert _bandmm_pallas_params(256, 448, 197) is None
+    assert _bandmm_pallas_params(256, 448, 3) is not None
+    # un-tileable width
+    assert _bandmm_pallas_params(256, 449, 3) is None
+
+
+def test_slab_wide_channel_input_still_computes(rng):
+    """impl="slab" with a wide-channel tensor silently routes to block."""
+    image, flow, filt = _case(rng, c=9)
+    want = filter_interpolate(image, flow, filt, impl="gather")
+    got = filter_interpolate(image, flow, filt, impl="slab")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

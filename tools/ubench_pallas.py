@@ -163,17 +163,17 @@ def e3_ladder(s=128, reps=8):
         for k in range(reps):
             m = (riota == b + k).astype(jnp.float32)
             acc = acc + jnp.sum(m * d, axis=0, keepdims=True)
-        o_ref[:] = acc
+        o_ref[:] = d + acc * 1e-6
 
     @jax.jit
     def run(d):
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((s, 128), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(d)
+        )(d, base)
 
     try:
         dt = device_time(run, data)
@@ -182,6 +182,112 @@ def e3_ladder(s=128, reps=8):
               f"(total {dt*1e3:.3f} ms for {reps})")
     except Exception as e:  # noqa: BLE001
         print(f"E3 ladder FAILED: {type(e).__name__}: {e}")
+
+
+# ---------------------------------------------------------------------------
+# E4: band-matmul throughput (the filter_interpolate bandmm stage-1 shape)
+# ---------------------------------------------------------------------------
+
+def e4_bandmm(p=3584, ws=452, n=228, reps=8):
+    """bf16 (P, Ws) @ (Ws, N) dots with f32 accumulation, chained."""
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(p, ws), jnp.bfloat16)
+    b = jnp.asarray(rng.rand(ws, n), jnp.bfloat16)
+
+    def kernel(a_ref, b_ref, o_ref):
+        acc = jnp.zeros((p, n), jnp.float32)
+        for _ in range(reps):
+            acc = acc + jax.lax.dot_general(
+                a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        o_ref[:] = acc
+
+    @jax.jit
+    def run(a):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((p, n), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(a, b)
+        # feedback: keep the timed dot on the critical path of the scan
+        return a + (out[:, :1] * 1e-6).astype(jnp.bfloat16)
+
+    try:
+        dt = device_time(run, a)
+        per = dt / reps
+        mac = p * ws * n
+        print(f"E4 bandmm ({p},{ws})@({ws},{n}) bf16: {per*1e6:.1f} us/dot "
+              f"= {mac/per/1e12:.1f} TMAC/s")
+    except Exception as e:  # noqa: BLE001
+        print(f"E4 bandmm FAILED: {type(e).__name__}: {e}")
+
+
+# ---------------------------------------------------------------------------
+# E5: pallas_call fixed overhead (near-empty kernel)
+# ---------------------------------------------------------------------------
+
+def e5_overhead():
+    x = jnp.ones((8, 128), jnp.float32)
+
+    def kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:] + 1.0
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x)
+
+    dt = device_time(run, x)
+    print(f"E5 empty pallas_call: {dt*1e6:.1f} us/call")
+
+    @jax.jit
+    def run_xla(x):
+        return x + 1.0
+
+    dt = device_time(run_xla, x)
+    print(f"E5 empty XLA op:      {dt*1e6:.1f} us/call")
+
+
+def e6_overhead_shape():
+    """Is the ~1.2ms 'per-iteration' cost a per-scan-step cost or a fixed
+    per-device_get cost?  Compare iters=30 vs 300 and scan vs unrolled."""
+    x = jnp.ones((8, 128), jnp.float32)
+
+    for iters in (30, 300):
+        @jax.jit
+        def many(x, n=iters):
+            def body(x, _):
+                return x + 1.0, ()
+            x, _ = jax.lax.scan(body, x, None, length=n)
+            return jnp.sum(x)
+
+        jax.device_get(many(x))
+        t0 = time.perf_counter()
+        jax.device_get(many(x))
+        total = time.perf_counter() - t0
+        print(f"E6 scan     iters={iters:4d}: total {total*1e3:8.2f} ms "
+              f"({total/iters*1e6:.1f} us/iter)")
+
+    for iters in (30, 300):
+        @jax.jit
+        def many_u(x, n=iters):
+            def body(x, _):
+                return x + 1.0, ()
+            x, _ = jax.lax.scan(body, x, None, length=n, unroll=n)
+            return jnp.sum(x)
+
+        jax.device_get(many_u(x))
+        t0 = time.perf_counter()
+        jax.device_get(many_u(x))
+        total = time.perf_counter() - t0
+        print(f"E6 unrolled iters={iters:4d}: total {total*1e3:8.2f} ms "
+              f"({total/iters*1e6:.1f} us/iter)")
 
 
 if __name__ == "__main__":
@@ -193,3 +299,9 @@ if __name__ == "__main__":
         e2_taa()
     if which in ("e3", "all"):
         e3_ladder()
+    if which in ("e4", "all"):
+        e4_bandmm(reps=int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    if which in ("e5", "all"):
+        e5_overhead()
+    if which == "e6":
+        e6_overhead_shape()

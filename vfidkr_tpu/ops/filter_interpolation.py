@@ -167,6 +167,194 @@ def _filter_interpolate_2d_block(image, flow, filt, filter_size):
     return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
 
 
+def _filter_interpolate_2d_bandmm(image, flow, filt, filter_size,
+                                  rv: int = 32, band: int = 8,
+                                  limbs: int = 3):
+    """Exact gather-free formulation: per 8-row output band, the per-pixel
+    window read becomes (a) one one-hot MXU matmul over the *columns* of a
+    vertically-bounded row slab (horizontally exact for every flow — the slab
+    spans the full padded width), then (b) a cheap VPU masked-reduce ladder
+    over the ``2*rv + band + fs - 1`` candidate slab rows.
+
+    Exactness contract: identical to the gather oracle whenever
+    ``|fy| <= rv`` (vertical flow bound, in pixels); rarer larger flows use
+    ``fy`` clamped to the slab (documented approximation; impl="block" is the
+    strict path).  Horizontal flows are NOT bounded.
+
+    The f32 slab values are split into ``limbs`` bf16 limbs so the matmuls
+    run as DEFAULT-precision bf16 MXU passes with f32 accumulation (the
+    one-hot side is exactly representable): 3 limbs reconstruct f32 taps to
+    <= 1/2 ulp, at half the passes of a HIGHEST f32 einsum.
+
+    Reference math: filterinterpolation_cuda_kernel.cu:2692-2823.
+    """
+    h, w, c = image.shape
+    fs = filter_size
+    half = fs // 2
+    pad_lo, pad_hi = half - 1, fs - half
+    assert h % band == 0
+
+    valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, filter_size)
+    # per-tap combined weight, (h, w, fs, fs) indexed (dj, di)
+    wx = jnp.stack([alpha if di >= half else 1.0 - alpha for di in range(fs)],
+                   axis=-1)
+    wy = jnp.stack([beta if dj >= half else 1.0 - beta for dj in range(fs)],
+                   axis=-1)
+    kw = (filt.reshape(h, w, fs, fs) * wy[..., :, None] * wx[..., None, :])
+
+    ipad = jnp.pad(image.astype(jnp.float32),
+                   ((rv + pad_lo, rv + pad_hi), (pad_lo, pad_hi), (0, 0)),
+                   mode="edge")
+    base_u = ix_l + pad_lo                      # (h, w) in [0, w-1]
+    nb = h // band
+    s = band + 2 * rv + fs - 1                  # slab rows per band
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    base_s = jnp.clip(iy_t + rv + pad_lo - (yy // band) * band, 0, s - fs)
+
+    # slabs (nb, s, w+fs-1, c) and the 4 column-shifted copies
+    slabs = jnp.stack([jax.lax.dynamic_slice_in_dim(ipad, b0, s, axis=0)
+                       for b0 in range(0, h, band)])
+    rhs = jnp.stack([slabs[:, :, di:di + w, :] for di in range(fs)],
+                    axis=3)                      # (nb, s, u, di, c)
+    rhs = rhs.transpose(0, 2, 1, 3, 4).reshape(nb, w, s * fs * c)
+
+    # stage 1: one-hot column contraction on the MXU (bf16 limb passes)
+    uu = jax.lax.broadcasted_iota(jnp.int32, (nb, band * w, w), 2)
+    onehot = (uu == base_u.reshape(nb, band * w, 1)).astype(jnp.bfloat16)
+    t = jnp.zeros((nb, band * w, s * fs * c), jnp.float32)
+    resid = rhs
+    for _ in range(limbs):
+        # reduce_precision (not a bf16 convert round-trip: XLA elides
+        # f32->bf16->f32 convert pairs under jit, zeroing limbs 2+)
+        limb_f32 = jax.lax.reduce_precision(resid, 8, 7)
+        t = t + jnp.einsum("bpu,buk->bpk", onehot, limb_f32.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        resid = resid - limb_f32
+    t = t.reshape(nb, band, w, s, fs, c)
+
+    # stage 2: masked-reduce ladder over the s candidate rows
+    riota = jax.lax.broadcasted_iota(jnp.int32, (nb, band, w, s), 3)
+    bs = base_s.reshape(nb, band, w, 1)
+    out = jnp.zeros((nb, band, w, c), jnp.float32)
+    kwb = kw.reshape(nb, band, w, fs, fs)
+    for di in range(fs):
+        w_s = jnp.zeros((nb, band, w, s), jnp.float32)
+        for dj in range(fs):
+            w_s = w_s + jnp.where(riota == bs + dj,
+                                  kwb[..., dj, di:di + 1], 0.0)
+        out = out + jnp.einsum("bpxs,bpxsc->bpxc", w_s, t[..., di, :],
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape(h, w, c)
+
+    fallback = jax.lax.stop_gradient(image.astype(jnp.float32))
+    return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
+
+
+def _bandmm_pallas_params(h, w, c):
+    """Pick (band, tw) grid parameters for the banded Pallas kernel, or None
+    if the shape doesn't fit its contract (tile divisibility, channel count —
+    wide context tensors blow the per-tile VMEM slab budget)."""
+    if c > 8 or h % 8 != 0:
+        return None
+    band = 16 if h % 16 == 0 else 8
+    for tw in (112, 128, 96, 64, 160, 80, 56, 32):
+        if w % tw == 0:
+            return band, tw
+    return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _filter_interpolate_slab(image, flow, filt, filter_size, band, tw):
+    """Default TPU path: banded one-hot-matmul Pallas kernel (see
+    ops/pallas/filter_bandmm_kernel.py) with a whole-call ``lax.cond``
+    fallback to the exact XLA block path when any flow exceeds the slab
+    bounds — reference-exact for every input.  Backward reuses the block
+    formulation (identical math to filterinterpolation_cuda_kernel.cu
+    :2827-3125)."""
+    from vfidkr_tpu.ops.pallas.filter_bandmm_kernel import (
+        _rv_for, filter_bandmm_pallas)
+    fs = filter_size
+    half = fs // 2
+    pad_lo = half - 1
+    rv, rh = _rv_for(band), 32
+    s = band + 2 * rv + fs - 1
+    u_slab = tw + 2 * rh + fs - 1
+
+    def per_image(image, flow, filt):
+        valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, fs)
+        kw = _combined_weights(filt, alpha, beta, fs)
+        return valid, iy_t + pad_lo, ix_l + pad_lo, kw
+
+    valid, base_v, base_u, kw = jax.vmap(per_image)(image, flow, filt)
+
+    b, h, w, c = image.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    bs = base_v + rv - (yy // band) * band
+    bu = base_u + rh - (xx // tw) * tw
+    in_slab = ((bs >= 0) & (bs <= s - fs) & (bu >= 0) & (bu <= u_slab - fs))
+    oversize = jnp.any(valid & ~in_slab)
+
+    img32 = image.astype(jnp.float32)
+
+    def fast(args):
+        img32, base_v, base_u, kw = args
+        return filter_bandmm_pallas(img32, base_v, base_u, kw,
+                                    band=band, tw=tw, rh=rh)
+
+    def exact(args):
+        img32, base_v, base_u, kw = args
+        return _block_from_geometry(img32, base_v, base_u, kw, fs)
+
+    out = jax.lax.cond(oversize, exact, fast, (img32, base_v, base_u, kw))
+    fallback = jax.lax.stop_gradient(img32)
+    return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
+
+
+def _block_from_geometry(img32, base_v, base_u, kw, fs):
+    """The exact blocked-gather valid-branch sum, from precomputed geometry
+    (shared with the Pallas path so the lax.cond branches agree bit-for-bit
+    on in-bound pixels)."""
+    b, h, w, c = img32.shape
+    half = fs // 2
+    pad_lo, pad_hi = half - 1, fs - half
+    ipad = jnp.pad(img32, ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)),
+                   mode="edge")
+
+    def one(ipad, base_v, base_u, kw):
+        starts = jnp.stack([base_v.reshape(-1), base_u.reshape(-1)], axis=-1)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+        blocks = jax.lax.gather(
+            ipad, starts, dnums, slice_sizes=(fs, fs, c),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        taps = blocks.reshape(h, w, fs, fs, c)
+        return jnp.einsum("yxk,yxkc->yxc", kw,
+                          taps.reshape(h, w, fs * fs, c),
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    return jax.vmap(one)(ipad, base_v, base_u, kw)
+
+
+def _fi_slab_fwd(image, flow, filt, filter_size, band, tw):
+    return (_filter_interpolate_slab(image, flow, filt, filter_size, band, tw),
+            (image, flow, filt))
+
+
+def _fi_slab_bwd(filter_size, band, tw, res, g):
+    image, flow, filt = res
+    block = jax.vmap(functools.partial(_filter_interpolate_2d_block,
+                                       filter_size=filter_size))
+    _, vjp = jax.vjp(block, image, flow, filt)
+    return vjp(g)
+
+
+_filter_interpolate_slab.defvjp(_fi_slab_fwd, _fi_slab_bwd)
+
+
 def _combined_weights(filt, alpha, beta, filter_size):
     """Per-tap weight = filter * separable quadrant blend, (H,W,fs*fs),
     row-major (dj*fs + di)."""
@@ -301,10 +489,18 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
     """
     if impl == "pallas":
         return _filter_interpolate_pallas(image, flow, filt, filter_size)
+    if impl == "slab":
+        params = _bandmm_pallas_params(*image.shape[1:])
+        if params is None:      # shape outside the kernel contract
+            impl = "block"
+        else:
+            return _filter_interpolate_slab(image, flow, filt, filter_size,
+                                            *params)
     fn = {
         "separable": _filter_interpolate_2d_onehot,
         "gather": _filter_interpolate_2d,
         "block": _filter_interpolate_2d_block,
+        "bandmm": _filter_interpolate_2d_bandmm,
     }[impl]
     core = functools.partial(fn, filter_size=filter_size)
     return jax.vmap(core)(image, flow, filt)

@@ -29,9 +29,7 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def device_time(fn: Callable, x0, iters: int = 10, warmup: bool = True):
-    """Honest per-iteration device time of ``fn: x -> x_like`` in seconds."""
-
+def _feedback_many(fn: Callable, iters: int):
     @jax.jit
     def many(x):
         def body(x, _):
@@ -39,12 +37,44 @@ def device_time(fn: Callable, x0, iters: int = 10, warmup: bool = True):
         x, _ = jax.lax.scan(body, x, None, length=iters)
         return jnp.sum(jnp.stack([jnp.sum(l) for l in
                                   jax.tree_util.tree_leaves(x)]))
+    return many
 
+
+def device_time(fn: Callable, x0, iters: int = 10, warmup: bool = True):
+    """Honest per-iteration device time of ``fn: x -> x_like`` in seconds.
+
+    NOTE: each measurement carries a fixed ~35-40 ms cost on this tunnelled
+    runtime (the device_get round trip), so the per-iteration figure is
+    inflated by ~40e-3/iters.  Use ``device_time_slope`` (or iters >= 200)
+    when that bias matters — i.e. for anything under a few ms.
+    """
+    many = _feedback_many(fn, iters)
     if warmup:
         jax.device_get(many(x0))
     t0 = time.perf_counter()
     jax.device_get(many(x0))
     return (time.perf_counter() - t0) / iters
+
+
+def device_time_slope(fn: Callable, x0, n1: int = 30, n2: int = 150,
+                      repeats: int = 3):
+    """Fixed-cost-free per-iteration device time: run the feedback scan at two
+    iteration counts and take the slope, cancelling the ~35-40 ms per-call
+    device_get floor that inflates short measurements (measured in
+    tools/ubench_pallas.py E5/E6)."""
+    many1 = _feedback_many(fn, n1)
+    many2 = _feedback_many(fn, n2)
+    jax.device_get(many1(x0))
+    jax.device_get(many2(x0))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.device_get(many1(x0))
+        t1 = time.perf_counter()
+        jax.device_get(many2(x0))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return best
 
 
 class Timer:
