@@ -74,10 +74,8 @@ def _four_neighbour_lin(ix_l, ix_r, iy_t, iy_b, w):
 
 
 def _use_pallas() -> bool:
-    """Opt-in: the Pallas scatter kernel is bit-precise but its HIGHEST-
-    precision f32 matmuls at VMEM-fitting chunk sizes measured slower than
-    the XLA chunked einsum on v5e (12.7 vs ~6 ms/pair at 448x256); keep the
-    XLA path default until the kernel is retuned."""
+    """Opt-in: the round-1 whole-grid Pallas scatter kernel (superseded by
+    the banded kernel, kept for comparison)."""
     import os
     if os.environ.get("VFIDKR_PALLAS_SCATTER", "0") != "1":
         return False
@@ -85,6 +83,62 @@ def _use_pallas() -> bool:
         return jax.default_backend() == "tpu"
     except RuntimeError:
         return False
+
+
+def _band_scatter_params(h, w, c):
+    """(band, tw) grid parameters for the banded Pallas scatter, or None if
+    the shape doesn't fit its contract."""
+    if c > 8 or h % 8 != 0:
+        return None
+    band = 16 if h % 16 == 0 else 8
+    for tw in (112, 128, 96, 64, 160, 80, 56, 32):
+        if w % tw == 0:
+            return band, tw
+    return None
+
+
+def _oversize_pred(iy_t, ix_l, vals, band, tw):
+    """True iff any contributing pixel lands beyond the banded kernel's
+    (rv, rh) slab bounds (invalid pixels carry zeroed vals and clamped
+    indices — they must not trigger the slow path)."""
+    from vfidkr_tpu.ops.pallas.projection_band_kernel import _bounds
+    b, h, w = iy_t.shape
+    rv, _ = _bounds(band, tw, rh=32)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    contributes = jnp.any(vals != 0.0, axis=-1)
+    return jnp.any(contributes & ((jnp.abs(iy_t - yy) > rv - 1)
+                                  | (jnp.abs(ix_l - xx) > 31)))
+
+
+def _scatter4_cond(iy_t, iy_b, ix_l, ix_r, vals, band, tw, post=None):
+    """Banded Pallas scatter (5x fewer MACs than the whole-grid one-hot
+    einsum — see ops/pallas/projection_band_kernel.py) with a whole-call
+    lax.cond fallback to the XLA path when any contributing pixel lands
+    beyond the (rv, rh) slab bounds.
+
+    ``post`` (accum -> out) runs INSIDE both cond branches: an
+    associative-scan (hole fill) consuming a conditional's output schedules
+    pathologically on this TPU toolchain (+7 ms at 448x256 measured), so
+    downstream work must live in the branches."""
+    from vfidkr_tpu.ops.pallas.projection_band_kernel import (
+        scatter4_band_pallas)
+    post = post if post is not None else (lambda acc: acc)
+    oversize = _oversize_pred(iy_t, ix_l, vals, band, tw)
+
+    def fast(args):
+        return post(scatter4_band_pallas(*args, band=band, tw=tw))
+
+    def exact(args):
+        iy_t, iy_b, ix_l, ix_r, vals = args
+        return post(jax.vmap(_scatter4_onehot)(iy_t, iy_b, ix_l, ix_r, vals))
+
+    return jax.lax.cond(oversize, exact, fast,
+                        (iy_t, iy_b, ix_l, ix_r, vals))
+
+
+def _scatter4_banded(iy_t, iy_b, ix_l, ix_r, vals, band, tw):
+    return _scatter4_cond(iy_t, iy_b, ix_l, ix_r, vals, band, tw)
 
 
 def _scatter4_transpose(iy_t, iy_b, ix_l, ix_r, g, row_chunk=32):
@@ -123,6 +177,10 @@ def _scatter4(iy_t, iy_b, ix_l, ix_r, vals):
     if _use_pallas():
         from vfidkr_tpu.ops.pallas.projection_kernel import scatter4_pallas
         return scatter4_pallas(iy_t, iy_b, ix_l, ix_r, vals)
+    params = _band_scatter_params(iy_t.shape[1], iy_t.shape[2],
+                                  vals.shape[-1])
+    if params is not None:
+        return _scatter4_banded(iy_t, iy_b, ix_l, ix_r, vals, *params)
     return jax.vmap(_scatter4_onehot)(iy_t, iy_b, ix_l, ix_r, vals)
 
 
@@ -243,8 +301,15 @@ def flow_project(flow: jax.Array, hole_fill: bool = False) -> jax.Array:
     (``FlowProjectionLayer.py:23``: fillhole = not requires_grad).
     """
     iy_t, iy_b, ix_l, ix_r, vals = jax.vmap(_scatter_prep)(flow)
-    accum = _scatter4(iy_t, iy_b, ix_l, ix_r, vals)
     fin = functools.partial(_finalize, do_fill=hole_fill, dtype=flow.dtype)
+    params = _band_scatter_params(*iy_t.shape[1:], vals.shape[-1])
+    if hole_fill and params is not None:
+        # inference path (fill stops gradients anyway): run average + hole
+        # fill INSIDE the cond branches — see _scatter4_cond on why
+        post = lambda acc: jax.vmap(fin)(acc[..., :2], acc[..., 2])
+        return _scatter4_cond(iy_t, iy_b, ix_l, ix_r, vals, *params,
+                              post=post)
+    accum = _scatter4(iy_t, iy_b, ix_l, ix_r, vals)
     return jax.vmap(fin)(accum[..., :2], accum[..., 2])
 
 
@@ -260,30 +325,36 @@ def _depth_prep(flow, depth_inv):
     return iy_t, iy_b, ix_l, ix_r, vals
 
 
-def _depth_flow_project_fwd(flow, depth_inv):
-    """Batched forward. Returns (out, cnt); depth_inv (B,H,W) positive."""
+def _depth_flow_project_fwd(flow, depth_inv, hole_fill):
+    """Batched forward. Returns (final, out_unfilled, cnt); depth_inv
+    (B,H,W) positive.  The average + optional hole fill run inside the
+    banded scatter's lax.cond branches (see _scatter4_cond)."""
     iy_t, iy_b, ix_l, ix_r, vals = jax.vmap(_depth_prep)(flow, depth_inv)
-    accum = _scatter4(iy_t, iy_b, ix_l, ix_r, vals)
-    acc, cnt = accum[..., :2], accum[..., 2]
-    out = jnp.where(cnt[..., None] > 0,
-                    acc / jnp.maximum(cnt, 1e-30)[..., None], 0.0)
-    return out, cnt
+
+    def post(accum):
+        acc, cnt = accum[..., :2], accum[..., 2]
+        out = jnp.where(cnt[..., None] > 0,
+                        acc / jnp.maximum(cnt, 1e-30)[..., None], 0.0)
+        final = jax.vmap(fill_holes)(cnt, out) if hole_fill else out
+        return final, out, cnt
+
+    params = _band_scatter_params(*iy_t.shape[1:], vals.shape[-1])
+    if params is not None:
+        return _scatter4_cond(iy_t, iy_b, ix_l, ix_r, vals, *params,
+                              post=post)
+    return post(_scatter4(iy_t, iy_b, ix_l, ix_r, vals))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _depth_flow_project_core(flow, depth_inv, hole_fill):
-    out, cnt = _depth_flow_project_fwd(flow, depth_inv)
-    if hole_fill:
-        out = jax.vmap(fill_holes)(cnt, out)
-    return out.astype(flow.dtype)
+    final, _, _ = _depth_flow_project_fwd(flow, depth_inv, hole_fill)
+    return final.astype(flow.dtype)
 
 
 def _dfp_fwd(flow, depth_inv, hole_fill):
-    out, cnt = _depth_flow_project_fwd(flow, depth_inv)
+    final, out, cnt = _depth_flow_project_fwd(flow, depth_inv, hole_fill)
     res = (flow, depth_inv, cnt, out)
-    if hole_fill:
-        out = jax.vmap(fill_holes)(cnt, out)
-    return out.astype(flow.dtype), res
+    return final.astype(flow.dtype), res
 
 
 def _dfp_bwd_2d(flow, depth_inv, cnt, out, g):

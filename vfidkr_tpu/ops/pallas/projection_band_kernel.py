@@ -1,0 +1,177 @@
+"""Pallas TPU kernel: banded 4-neighbour scatter-accumulate for flow
+projection (round-2 fast path).
+
+The reference resolves this scatter with atomicAdd
+(``flowprojection_cuda_kernel.cu:63-93``).  The round-1 XLA path reformulates
+it as chunked one-hot einsums contracting over the FULL (H, W) target grid;
+this kernel exploits the flow bound — a source pixel at (y, x) lands within
+(rv, rh) pixels of itself — to contract over a (s=128, u_slab~180) target
+slab instead (~5x fewer MACs) with the one-hots built in VMEM (never touching
+HBM).
+
+Per grid step (batch bi, column tile j, source row band i):
+
+* rowhot (s, P) = 1{r == bs_t(p)} + 1{r == bs_b(p)}   (bf16; {0,1,2} where
+  clamped neighbours coincide at the border — the reference's double
+  atomicAdd)
+* colhot (P, u_slab) likewise over ix_l / ix_r
+* slab_c = sum_limbs  rowhot @ (colhot * val_limb[:, c])   — bf16 MXU dots.
+  Mosaic bf16 dots DO accumulate in f32 (verified this round with bitmask
+  limbs; the round-1 "no f32 accumulation" finding was an artifact of XLA
+  eliding f32->bf16->f32 convert pairs, which silently zeroed the lo limb).
+  One-hot entries {0,1,2} and truncation limbs multiply exactly, so 3 limbs
+  give exact-f32 sums at single-pass DEFAULT precision.
+* the band's slab is accumulated into a per-(batch, column-tile) output
+  strip resident in VMEM across the nb revisits (dynamic *sublane* offsets
+  are legal; the overlapping column strips are summed by the caller in XLA).
+
+Exactness contract: |iy_t - y| <= rv - 1 and |ix_l - x| <= rh - 1; the
+caller lax.cond's to the XLA einsum path when any valid pixel exceeds it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_S = 128
+
+
+def _bounds(band: int, tw: int, rh: int):
+    rv = (_S - band - 2) // 2
+    u_slab = tw + 2 * rh + 2
+    return rv, u_slab
+
+
+def _make_kernel(p: int, u_slab: int, c: int, limbs: int, band: int,
+                 group: int):
+    def kernel(bs_ref, bu_ref, vals_ref, out_ref):
+        i = pl.program_id(2)
+
+        @pl.when(i % group == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        bs_t = bs_ref[0, 0, 0, 0]                    # (1?, P) rows on lanes
+        bs_b = bs_ref[0, 0, 0, 1]
+        riota = jax.lax.broadcasted_iota(jnp.int32, (_S, p), 0)
+        rowhot = ((riota == bs_t[None, :]).astype(jnp.bfloat16)
+                  + (riota == bs_b[None, :]).astype(jnp.bfloat16))
+
+        bu = bu_ref[0, 0, 0]                         # (P, 2) int32
+        uiota = jax.lax.broadcasted_iota(jnp.int32, (p, u_slab), 1)
+        colhot = ((uiota == bu[:, 0:1]).astype(jnp.bfloat16)
+                  + (uiota == bu[:, 1:2]).astype(jnp.bfloat16))
+
+        vals = vals_ref[0, 0, 0]                     # (P, c*limbs) bf16
+        for cc in range(c):
+            acc = None
+            for l in range(limbs):
+                colval = colhot * vals[:, cc * limbs + l][:, None]
+                d = jax.lax.dot_general(
+                    rowhot, colval, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (s, u_slab)
+                acc = d if acc is None else acc + d
+            r0 = (i % group) * band
+            out_ref[0, 0, 0, cc, pl.ds(r0, _S), :] += acc
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("band", "tw", "rh", "limbs", "group"))
+def scatter4_band_pallas(bs_t, bs_b, bu_l, bu_r, vals,
+                         band: int = 16, tw: int = 112, rh: int = 32,
+                         limbs: int = 3, group: int = 16):
+    """Banded 4-neighbour scatter.
+
+    Args:
+      bs_t, bs_b: (B, H, W) int32 target rows (iy_t / clamped iy_b).
+      bu_l, bu_r: (B, H, W) int32 target cols.
+      vals:       (B, H, W, C) f32 scatter values (invalid pixels zeroed).
+
+    Returns:
+      (B, H, W, C) f32 accumulated target grid — exact wherever
+      |iy_t - y| <= rv - 1 and |ix_l - x| <= rh - 1 (callers pre-clamp into
+      the slab and cond away oversize calls).
+    """
+    b, h, w = bs_t.shape
+    c = vals.shape[-1]
+    rv, u_slab = _bounds(band, tw, rh)
+    assert h % band == 0 and w % tw == 0, (h, w, band, tw)
+    nb, nj = h // band, w // tw
+    group = min(group, nb)
+    while nb % group:
+        group -= 1
+    ng = nb // group
+    # each group's strip spans its `group` bands' slabs
+    hp_g = group * band + (_S - band)
+    p = band * tw
+    wp_j = u_slab
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    b0 = (yy // band) * band
+    x0 = (xx // tw) * tw
+    sb_t = jnp.clip(bs_t + rv - b0, 0, _S - 1)
+    sb_b = jnp.clip(bs_b + rv - b0, 0, _S - 1)
+    su_l = jnp.clip(bu_l + rh - x0, 0, u_slab - 1)
+    su_r = jnp.clip(bu_r + rh - x0, 0, u_slab - 1)
+
+    def px_lanes(x, k):        # (B,H,W,k) -> (B, nb, nj, k, P)
+        return (x.reshape(b, nb, band, nj, tw, k)
+                .transpose(0, 1, 3, 5, 2, 4).reshape(b, nb, nj, k, p))
+
+    def px_subl(x, k):         # (B,H,W,k) -> (B, nb, nj, P, k)
+        return (x.reshape(b, nb, band, nj, tw, k)
+                .transpose(0, 1, 3, 2, 4, 5).reshape(b, nb, nj, p, k))
+
+    bs_pk = px_lanes(jnp.stack([sb_t, sb_b], axis=-1), 2)
+    bu_pk = px_subl(jnp.stack([su_l, su_r], axis=-1), 2)
+
+    # exact bf16 truncation limbs of the values, interleaved (c0 limbs.., c1..)
+    def trunc(x):
+        return jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(x, jnp.uint32)
+            & jnp.uint32(0xFFFF0000), jnp.float32)
+
+    limb_list = []
+    resid = vals.astype(jnp.float32)
+    for k in range(limbs):
+        t = trunc(resid) if k < limbs - 1 else resid
+        limb_list.append(t.astype(jnp.bfloat16))
+        resid = resid - t
+    vals_l = jnp.stack(limb_list, axis=-1).reshape(b, h, w, c * limbs)
+    vals_pk = px_subl(vals_l, c * limbs)
+
+    spec5 = lambda k, sub: pl.BlockSpec(
+        (1, 1, 1) + ((k, p) if not sub else (p, k)),
+        lambda bi, j, i: (bi, i, j, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, 1, c, hp_g, wp_j),
+                            lambda bi, j, i: (bi, j, i // group, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    strips = pl.pallas_call(
+        _make_kernel(p, u_slab, c, limbs, band, group),
+        grid=(b, nj, nb),
+        in_specs=[spec5(2, False), spec5(2, True),
+                  spec5(c * limbs, True)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nj, ng, c, hp_g, wp_j),
+                                       jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(bs_pk, bu_pk, vals_pk)
+
+    # overlap-add the (row-group, column) strips in XLA: group g covers
+    # target rows g*group*band - rv ..; strip j covers cols j*tw - rh ..
+    out = jnp.zeros((b, c, h + 2 * rv + (_S - band - 2 * rv),
+                     w + 2 * rh + 2), jnp.float32)
+    for g in range(ng):
+        for j in range(nj):
+            out = out.at[:, :, g * group * band:g * group * band + hp_g,
+                         j * tw:j * tw + u_slab].add(strips[:, j, g])
+    return out[:, :, rv:rv + h, rh:rh + w].transpose(0, 2, 3, 1)

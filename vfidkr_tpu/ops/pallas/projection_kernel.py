@@ -65,11 +65,13 @@ def scatter4_pallas_partial(iy_t, iy_b, ix_l, ix_r, vals, chunk: int = 512,
 
     Measured (v5e, 448x256 pair): 6.1 ms — 2x faster than the revisiting
     HIGHEST kernel but only ties the XLA einsum path, and the result drifts
-    ~0.045 abs: isolated experiment confirms Mosaic's bf16x bf16 dot with
-    preferred_element_type=f32 does NOT accumulate in f32 (0.21 max error on
-    bf16-exact inputs whose true sums fit f32) — so in-kernel bf16 dots
-    cannot give reference-grade sums on this toolchain, and only the 6-pass
-    HIGHEST f32 dot is accurate.  Not wired as a default."""
+    ~0.045 abs.  ROUND-2 CORRECTION: the round-1 conclusion that Mosaic's
+    bf16 dot does not accumulate in f32 was WRONG — the drift came from XLA
+    eliding the f32->bf16->f32 convert round-trip in the hi/lo split below,
+    silently zeroing the lo limb.  A clean bitmask-limb experiment confirms
+    bf16 dots accumulate in f32.  Superseded by the banded kernel
+    (projection_band_kernel.py), which uses exact truncation limbs; this
+    whole-grid variant is kept only for comparison."""
     bsz, h, w = iy_t.shape
     c = vals.shape[-1]
     p_total = h * w
