@@ -119,10 +119,22 @@ class PWCDCNet(nn.Module):
         """Both flow directions with the siamese pyramids computed once
         (the reference runs two full passes, networks/DAIN.py:196-202; the
         pyramid convs are identical work and shared here — exact same
-        outputs)."""
-        p1 = self._pyramid(im1)
-        p2 = self._pyramid(im2)
-        return self._decode(p1, p2, False), self._decode(p2, p1, False)
+        outputs).
+
+        TPU note: the pyramid runs ONE batched pass over both frames, and
+        both decode directions run as ONE batch-2b decode pass — per-sample
+        conv math is unchanged, but the op count halves (the decoder is
+        launch-bound at the coarse pyramid levels)."""
+        b = im1.shape[0]
+        pyr = self._pyramid(jnp.concatenate([im1, im2], axis=0))
+        p1 = tuple(c[:b] for c in pyr)
+        p2 = tuple(c[b:] for c in pyr)
+        fwd_src = tuple(jnp.concatenate([a, c], axis=0)
+                        for a, c in zip(p1, p2))
+        bwd_src = tuple(jnp.concatenate([c, a], axis=0)
+                        for a, c in zip(p1, p2))
+        flow = self._decode(fwd_src, bwd_src, False)
+        return flow[:b], flow[b:]
 
     def _decode(self, pyr1, pyr2, output_more: bool = False):
         c11, c12, c13, c14, c15, c16 = pyr1

@@ -228,20 +228,23 @@ def _scatter4_onehot(iy_t, iy_b, ix_l, ix_r, vals, row_chunk=32):
     return acc
 
 
-def _last_valid_scan(vals, filled, axis, reverse):
-    """Inclusive 'last valid value' scan: at each position, the value of the
-    nearest filled cell at-or-before it along ``axis`` (after it if
-    ``reverse``).  Gather-free: a log-depth associative scan on TPU."""
+def _last_valid_scan2(vals, filled, axis):
+    """Inclusive 'last valid value' scans along ``axis``, BOTH directions in
+    one batched associative scan (forward + flipped stacked on a leading
+    axis; the filled mask stays 1-channel and broadcasts in the combine).
+    Gather-free: a log-depth associative scan on TPU.
+
+    Returns ((fwd_vals, fwd_exists), (rev_vals, rev_exists))."""
     def combine(a, b):
         av, af = a
         bv, bf = b
         return jnp.where(bf, bv, av), af | bf
 
-    # broadcast filled over the value channels so both operands share a shape
-    f = jnp.broadcast_to(filled[..., None], vals.shape)
-    v, fscan = jax.lax.associative_scan(combine, (vals, f), axis=axis,
-                                        reverse=reverse)
-    return v, fscan[..., 0]
+    flip = lambda x: jnp.flip(x, axis)
+    v2 = jnp.stack([vals, flip(vals)])
+    f2 = jnp.stack([filled, flip(filled)])
+    v, f = jax.lax.associative_scan(combine, (v2, f2), axis=axis + 1)
+    return (v[0], f[0]), (flip(v[1]), flip(f[1]))
 
 
 def fill_holes(count: jax.Array, out: jax.Array) -> jax.Array:
@@ -257,21 +260,18 @@ def fill_holes(count: jax.Array, out: jax.Array) -> jax.Array:
       count: (H, W) scatter hit count.
       out:   (H, W, 2) averaged projected flow (holes are 0).
     """
-    filled = count > 0.0
+    filled = (count > 0.0)[..., None]
 
-    left_v, left_e = _last_valid_scan(out, filled, axis=1, reverse=False)
-    right_v, right_e = _last_valid_scan(out, filled, axis=1, reverse=True)
-    up_v, up_e = _last_valid_scan(out, filled, axis=0, reverse=False)
-    down_v, down_e = _last_valid_scan(out, filled, axis=0, reverse=True)
+    (left_v, left_e), (right_v, right_e) = _last_valid_scan2(out, filled, 1)
+    (up_v, up_e), (down_v, down_e) = _last_valid_scan2(out, filled, 0)
 
     exists = [e.astype(out.dtype) for e in (left_e, right_e, up_e, down_e)]
     vals = [left_v, right_v, up_v, down_v]
 
-    num = sum(e[..., None] * v for e, v in zip(exists, vals))
+    num = sum(e * v for e, v in zip(exists, vals))
     den = sum(exists)
-    filled_val = jnp.where(den[..., None] > 0,
-                           num / jnp.maximum(den, 1.0)[..., None], out)
-    return jnp.where(filled[..., None], out, filled_val)
+    filled_val = jnp.where(den > 0, num / jnp.maximum(den, 1.0), out)
+    return jnp.where(filled, out, filled_val)
 
 
 # ---------------------------------------------------------------------------
@@ -284,6 +284,27 @@ def _scatter_prep(flow):
     validf = valid.astype(jnp.float32)
     vals = jnp.stack([-fx * validf, -fy * validf, validf], axis=-1)
     return iy_t, iy_b, ix_l, ix_r, vals
+
+
+def fill_holes_batched(count: jax.Array, out: jax.Array) -> jax.Array:
+    """Batched hole fill: the in-VMEM Pallas doubling-scan kernel when the
+    field fits (see ops/pallas/fillhole_kernel.py; ~6x faster than the XLA
+    associative scans at 448x256), else the XLA scans."""
+    from vfidkr_tpu.ops.pallas.fillhole_kernel import (
+        fill_holes_fits, fill_holes_pallas)
+    b, h, w = count.shape
+    if fill_holes_fits(h, w):
+        return fill_holes_pallas(count, out)
+    return jax.vmap(fill_holes)(count, out)
+
+
+def _finalize_batched(acc, cnt, do_fill, dtype):
+    out = jnp.where(cnt[..., None] > 0,
+                    acc / jnp.maximum(cnt, 1.0)[..., None], 0.0)
+    if do_fill:
+        out = fill_holes_batched(jax.lax.stop_gradient(cnt),
+                                 jax.lax.stop_gradient(out))
+    return out.astype(dtype)
 
 
 def _finalize(acc, cnt, do_fill, dtype):
@@ -301,16 +322,17 @@ def flow_project(flow: jax.Array, hole_fill: bool = False) -> jax.Array:
     (``FlowProjectionLayer.py:23``: fillhole = not requires_grad).
     """
     iy_t, iy_b, ix_l, ix_r, vals = jax.vmap(_scatter_prep)(flow)
-    fin = functools.partial(_finalize, do_fill=hole_fill, dtype=flow.dtype)
     params = _band_scatter_params(*iy_t.shape[1:], vals.shape[-1])
     if hole_fill and params is not None:
         # inference path (fill stops gradients anyway): run average + hole
         # fill INSIDE the cond branches — see _scatter4_cond on why
-        post = lambda acc: jax.vmap(fin)(acc[..., :2], acc[..., 2])
+        post = lambda acc: _finalize_batched(acc[..., :2], acc[..., 2],
+                                             hole_fill, flow.dtype)
         return _scatter4_cond(iy_t, iy_b, ix_l, ix_r, vals, *params,
                               post=post)
     accum = _scatter4(iy_t, iy_b, ix_l, ix_r, vals)
-    return jax.vmap(fin)(accum[..., :2], accum[..., 2])
+    return _finalize_batched(accum[..., :2], accum[..., 2], hole_fill,
+                             flow.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +357,7 @@ def _depth_flow_project_fwd(flow, depth_inv, hole_fill):
         acc, cnt = accum[..., :2], accum[..., 2]
         out = jnp.where(cnt[..., None] > 0,
                         acc / jnp.maximum(cnt, 1e-30)[..., None], 0.0)
-        final = jax.vmap(fill_holes)(cnt, out) if hole_fill else out
+        final = fill_holes_batched(cnt, out) if hole_fill else out
         return final, out, cnt
 
     params = _band_scatter_params(*iy_t.shape[1:], vals.shape[-1])
