@@ -34,7 +34,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vfidkr_tpu.models.layers import upsample_bilinear
+from vfidkr_tpu.models.layers import conv_compute_dtype, upsample_bilinear
 from vfidkr_tpu.models.megadepth import MegaDepthHourglass, depth_inv_from_log_depth
 from vfidkr_tpu.models.mononet import BranchHead, DeconvField, MonoNet5, OccNet
 from vfidkr_tpu.models.pwcnet import PWCDCNet
@@ -53,6 +53,8 @@ class DAIN(nn.Module):
                                  # Pallas kernel w/ exact lax.cond fallback
                                  # (~4x faster than "block" on v5e; see
                                  # ops/pallas/filter_bandmm_kernel.py)
+    compute_dtype: str = "float32"   # conv compute dtype ("bfloat16" for
+                                     # the fast eval mode; ops stay f32)
 
     def setup(self):
         assert self.timestep == 0.5, "DAIN supports t=0.5 only (DAIN.py:36)"
@@ -91,18 +93,22 @@ class DAIN(nn.Module):
         b = i0.shape[0]
         cat = jnp.concatenate([i0, i2], axis=-1)
 
-        trunk = self.filter_net(cat)
-        filt0 = self.filter_head1(trunk)
-        filt1 = self.filter_head2(trunk)
+        with conv_compute_dtype(self.compute_dtype):
+            trunk = self.filter_net(cat)
+            filt0 = self.filter_head1(trunk).astype(jnp.float32)
+            filt1 = self.filter_head2(trunk).astype(jnp.float32)
+
+            raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
+            raw_fwd = raw_fwd.astype(jnp.float32)
+            raw_bwd = raw_bwd.astype(jnp.float32)
 
         t = self.timestep
-        raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
-        f01 = upsample_bilinear(raw_fwd * (self.div_flow * t), 4)
-        f10 = upsample_bilinear(raw_bwd * (self.div_flow * t), 4)
+        flows4 = upsample_bilinear(
+            jnp.concatenate([raw_fwd, raw_bwd], axis=0) * (self.div_flow * t),
+            4)
 
         hole_fill = not train   # FlowProjectionLayer.py:23
-        offs = flow_project(jnp.concatenate([f01, f10], axis=0),
-                            hole_fill=hole_fill)
+        offs = flow_project(flows4, hole_fill=hole_fill)
         off0, off1 = offs[:b], offs[b:]
 
         refs = filter_interpolate(
@@ -115,7 +121,9 @@ class DAIN(nn.Module):
 
         rectify_input = jnp.concatenate(
             [cur_output, ref0, ref2, off0, off1, filt0, filt1], axis=-1)
-        rectified = self.rectify_net(rectify_input) + cur_output
+        with conv_compute_dtype(self.compute_dtype):
+            rectified = (self.rectify_net(rectify_input).astype(jnp.float32)
+                         + cur_output)
 
         return {
             "outputs": [cur_output, rectified],

@@ -10,11 +10,38 @@ kernels and ``k-1-p`` padding.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+import contextlib
+from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# Trace-time conv compute dtype (ROADMAP round-2 item 3): inside a
+# ``conv_compute_dtype(jnp.bfloat16)`` context every Conv/ConvTranspose casts
+# its input and kernel to bf16 and produces bf16 activations (params stay
+# f32 in storage; downstream layers keep the low precision until a caller
+# casts back).  ~30% conv speedup on v5e (HBM-bound stacks).  Default off —
+# reference parity is f32.
+_CONV_COMPUTE_DTYPE: Optional[jnp.dtype] = None
+
+
+@contextlib.contextmanager
+def conv_compute_dtype(dt):
+    """Context manager: set the conv computation dtype for modules traced
+    inside (None/f32 = exact reference math)."""
+    global _CONV_COMPUTE_DTYPE
+    prev = _CONV_COMPUTE_DTYPE
+    _CONV_COMPUTE_DTYPE = None if dt in (None, jnp.float32, "float32") else jnp.dtype(dt)
+    try:
+        yield
+    finally:
+        _CONV_COMPUTE_DTYPE = prev
+
+
+def _compute_dt():
+    return _CONV_COMPUTE_DTYPE
+
 
 def kaiming_normal_torch(key, shape, dtype=jnp.float32):
     """torch kaiming_normal_(mode='fan_in'): N(0, sqrt(2/fan_in)), HWIO shape."""
@@ -52,6 +79,9 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = self.padding
+        dt = _compute_dt()
+        if dt is not None:
+            x = x.astype(dt)
         return nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -61,6 +91,7 @@ class Conv(nn.Module):
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
             bias_init=nn.initializers.zeros,
+            dtype=dt,
         )(x)
 
 
@@ -86,6 +117,10 @@ class ConvTranspose(nn.Module):
         kernel = self.param("kernel", self.kernel_init,
                             (k, k, in_ch, self.features))
         flipped = kernel[::-1, ::-1]
+        dt = _compute_dt()
+        if dt is not None:
+            x = x.astype(dt)
+            flipped = flipped.astype(dt)
         pad = k - 1 - self.padding
         y = jax.lax.conv_general_dilated(
             x, flipped,
@@ -96,7 +131,7 @@ class ConvTranspose(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 
@@ -112,12 +147,48 @@ def leaky_relu(x, negative_slope=0.1):
     return jnp.where(x >= 0, x, x * negative_slope)
 
 
+def _up_axis_phases(x, axis, factor):
+    """Integer-factor bilinear upsample along one axis via the fixed phase
+    weights of half-pixel-center resampling (align_corners=False): each
+    output phase p reads source i + (2p + 1 - factor) / (2*factor) — a fixed
+    2-tap blend.  Pure elementwise + reshape; ~5x faster than
+    jax.image.resize for thin-channel tensors (2-ch flows waste 126/128
+    lanes in the gather-based resize)."""
+    n = x.shape[axis]
+
+    def shift(k):          # x[i+k] with edge clamp
+        lo = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        hi = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+        if k < 0:
+            body = jax.lax.slice_in_dim(x, 0, n + k, axis=axis)
+            return jnp.concatenate([lo] * (-k) + [body], axis=axis)
+        if k > 0:
+            body = jax.lax.slice_in_dim(x, k, n, axis=axis)
+            return jnp.concatenate([body] + [hi] * k, axis=axis)
+        return x
+
+    phases = []
+    for p in range(factor):
+        # source coordinate offset from i: (2p + 1 - factor) / (2*factor)
+        off = (2 * p + 1 - factor) / (2.0 * factor)
+        k = -1 if off < 0 else (1 if off > 0 else 0)
+        frac = abs(off)
+        phases.append(x * (1.0 - frac) + shift(k) * frac)
+    y = jnp.stack(phases, axis=axis + 1)        # (..., n, factor, ...)
+    new_shape = list(x.shape)
+    new_shape[axis] = n * factor
+    return y.reshape(new_shape)
+
+
 def upsample_bilinear(x, factor: int):
     """nn.Upsample(scale_factor=f, mode='bilinear', align_corners=False).
 
-    jax.image.resize('linear') uses half-pixel centers == align_corners=False.
+    jax.image.resize('linear') uses half-pixel centers == align_corners=False;
+    integer factors use the equivalent phase-decomposed fast path.
     """
     b, h, w, c = x.shape
+    if factor >= 1 and int(factor) == factor:
+        return _up_axis_phases(_up_axis_phases(x, 1, factor), 2, factor)
     return jax.image.resize(x, (b, h * factor, w * factor, c), method="linear")
 
 
