@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--torch-checkpoint", default=None)
     ap.add_argument("--save-which", type=int, default=1)
+    ap.add_argument("--spatial-shards", type=int, default=1,
+                    help="row-shard frames over N devices with halo exchange"
+                         " (frames N x taller than one chip's HBM fit)")
+    ap.add_argument("--halo", type=int, default=64,
+                    help="halo rows per shard (>= max motion + op support)")
     args = ap.parse_args()
 
     import jax
@@ -71,8 +76,16 @@ def main():
             yield prev, nxt
             prev = nxt
 
+    # with row sharding, local H/n + 2*halo must keep the /64 divisibility
+    # the nets need; pad H up to a multiple of 64*n (and 128 as usual)
+    pad_mult = 128 if args.spatial_shards == 1 else max(
+        128, 64 * args.spatial_shards)
+    # min_pad must preserve the multiple when a dim is already divisible
+    min_pad = 32 if args.spatial_shards == 1 else pad_mult // 2
+    pad_to = lambda x: pad_to_multiple(x, multiple=pad_mult, min_pad=min_pad)
+
     first = load(frames[0])
-    x0p, pads = pad_to_multiple(jnp.asarray(first))
+    x0p, pads = pad_to(jnp.asarray(first))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0p, x0p)
 
     if args.torch_checkpoint:
@@ -89,13 +102,23 @@ def main():
         variables = jax.device_put(ocp.StandardCheckpointer().restore(
             args.checkpoint, jax.device_get(variables)))
 
-    @jax.jit
-    def interp(variables, a, b):
+    def fwd(variables, a, b):
         res = model.apply(variables, a, b)
         outs = res["outputs"][args.save_which]
         if not isinstance(outs, (list, tuple)):
             outs = [outs]
         return [jnp.clip(o, 0.0, 1.0) for o in outs]
+
+    if args.spatial_shards > 1:
+        from vfidkr_tpu.parallel.spatial import shard_model_rows
+
+        @jax.jit
+        def interp(variables, a, b):
+            return shard_model_rows(
+                lambda x, y: fwd(variables, x, y),
+                args.spatial_shards, args.halo)(a, b)
+    else:
+        interp = jax.jit(fwd)
 
     def save(path, img01):
         Image.fromarray(
@@ -111,8 +134,8 @@ def main():
     t0 = time.time()
     produced = 0
     for idx, (a, b) in enumerate(prefetch(frame_pairs(), 2), start=1):
-        ap_, pads = pad_to_multiple(jnp.asarray(a))
-        bp_, _ = pad_to_multiple(jnp.asarray(b))
+        ap_, pads = pad_to(jnp.asarray(a))
+        bp_, _ = pad_to(jnp.asarray(b))
         outs = interp(variables, ap_, bp_)
         pending.append(pool.submit(
             save, os.path.join(args.out_dir, f"{idx:05d}000.png"), a))

@@ -40,6 +40,7 @@ def test_rectifier_shapes(rng):
     assert m.apply(params, x).shape == (1, 16, 16, 3)
 
 
+@pytest.mark.slow
 def test_pwcnet_shapes(rng):
     i0 = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)
     i2 = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)
@@ -60,6 +61,7 @@ def test_occnet_shapes(rng):
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_megadepth_shapes(rng):
     x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
     m = MegaDepthHourglass()
@@ -86,6 +88,7 @@ def test_dain_forward(rng):
     assert "ctx_net" in params["params"]
 
 
+@pytest.mark.slow
 def test_dain_train_grads(rng):
     i0 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
     i1 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)

@@ -1,5 +1,8 @@
-"""Banded one-hot-matmul Pallas path (impl="slab") parity vs the gather
-oracle — interpret mode on CPU (tests/conftest.py forces JAX_PLATFORMS=cpu).
+"""Banded one-hot-matmul Pallas path (the TPU-default impl="slab") parity vs
+the gather oracle — interpret mode on CPU (tests/conftest.py forces
+JAX_PLATFORMS=cpu, so the kernel internals are invoked directly; the public
+impl="slab" string dispatches to "block" off-TPU precisely to keep interpret
+mode out of model graphs).
 
 Covers VERDICT round-1 item 1: an interpret-mode parity test for the default
 TPU kernel, including the |flow| <= (rv, rh) exactness contract's lax.cond
@@ -12,7 +15,10 @@ import jax.numpy as jnp
 import pytest
 
 from vfidkr_tpu.ops import filter_interpolate
-from vfidkr_tpu.ops.filter_interpolation import _bandmm_pallas_params
+from vfidkr_tpu.ops.filter_interpolation import (
+    _bandmm_pallas_params,
+    _filter_interpolate_slab,
+)
 
 
 def _case(rng, b=1, h=16, w=32, c=3, flow_scale=6.0):
@@ -22,10 +28,15 @@ def _case(rng, b=1, h=16, w=32, c=3, flow_scale=6.0):
     return jnp.asarray(image), jnp.asarray(flow), jnp.asarray(filt)
 
 
+def _slab(image, flow, filt, band=16, tw=None):
+    tw = tw if tw is not None else image.shape[2]
+    return _filter_interpolate_slab(image, flow, filt, 4, band, tw)
+
+
 def test_slab_matches_oracle(rng):
     image, flow, filt = _case(rng, b=2)
     want = filter_interpolate(image, flow, filt, impl="gather")
-    got = filter_interpolate(image, flow, filt, impl="slab")
+    got = _slab(image, flow, filt)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
@@ -38,7 +49,7 @@ def test_slab_oversize_flow_conds_to_exact_path(rng):
     flow = flow.at[0, 3, 111].set(jnp.asarray([40.0, 1.0]))
     flow = flow.at[0, 8, 8].set(jnp.asarray([500.0, 0.0]))    # invalid: copy
     want = filter_interpolate(image, flow, filt, impl="gather")
-    got = filter_interpolate(image, flow, filt, impl="slab")
+    got = _slab(image, flow, filt, tw=112)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
@@ -46,28 +57,32 @@ def test_slab_oversize_flow_conds_to_exact_path(rng):
 def test_slab_backward_matches_block(rng):
     image, flow, filt = _case(rng)
 
-    def loss(impl):
+    def grads(fn):
         def f(im, fl, ke):
-            return jnp.sum(filter_interpolate(im, fl, ke, impl=impl) ** 2)
+            return jnp.sum(fn(im, fl, ke) ** 2)
         return jax.grad(f, argnums=(0, 1, 2))(image, flow, filt)
 
-    for a, b_, name in zip(loss("slab"), loss("block"),
-                           ("image", "flow", "filt")):
+    slab_g = grads(lambda im, fl, ke: _slab(im, fl, ke))
+    block_g = grads(lambda im, fl, ke: filter_interpolate(im, fl, ke,
+                                                          impl="block"))
+    for a, b_, name in zip(slab_g, block_g, ("image", "flow", "filt")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
 
 
-def test_slab_param_selection_falls_back_for_wide_channels():
-    # context tensors (196 ch) exceed the kernel's VMEM slab budget
-    assert _bandmm_pallas_params(256, 448, 197) is None
-    assert _bandmm_pallas_params(256, 448, 3) is not None
-    # un-tileable width
-    assert _bandmm_pallas_params(256, 449, 3) is None
+def test_slab_param_selection():
+    if jax.default_backend() == "tpu":     # params only resolve on TPU
+        assert _bandmm_pallas_params(256, 448, 197) is None
+        assert _bandmm_pallas_params(256, 448, 3) is not None
+        assert _bandmm_pallas_params(256, 449, 3) is None
+    else:
+        assert _bandmm_pallas_params(256, 448, 3) is None
 
 
-def test_slab_wide_channel_input_still_computes(rng):
-    """impl="slab" with a wide-channel tensor silently routes to block."""
-    image, flow, filt = _case(rng, c=9)
+def test_slab_impl_string_falls_back_off_tpu(rng):
+    """impl="slab" must compute correctly on any backend (block fallback on
+    CPU; the kernel on TPU)."""
+    image, flow, filt = _case(rng)
     want = filter_interpolate(image, flow, filt, impl="gather")
     got = filter_interpolate(image, flow, filt, impl="slab")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),

@@ -10,7 +10,25 @@ import jax
 import jax.numpy as jnp
 
 import vfidkr_tpu.ops.flow_projection as P
+from vfidkr_tpu.ops.pallas.fillhole_kernel import fill_holes_pallas
 from vfidkr_tpu.ops.pallas.projection_band_kernel import scatter4_band_pallas
+
+
+def test_fill_holes_kernel_matches_scans(rng):
+    """The in-VMEM doubling-scan hole-fill kernel vs the XLA associative
+    scans (which are themselves golden-tested vs the CUDA fill)."""
+    b, h, w = 2, 16, 32
+    cnt = (rng.rand(b, h, w) > 0.7).astype(np.float32) \
+        * (1.0 + rng.rand(b, h, w)).astype(np.float32)
+    out = (rng.randn(b, h, w, 2).astype(np.float32)
+           * (cnt[..., None] > 0))
+    want = jax.vmap(P.fill_holes)(jnp.asarray(cnt), jnp.asarray(out))
+    got = fill_holes_pallas(jnp.asarray(cnt), jnp.asarray(out))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    # degenerate: nothing filled anywhere
+    z = jnp.zeros((1, 16, 32))
+    assert float(jnp.abs(fill_holes_pallas(z, jnp.zeros((1, 16, 32, 2)))).max()) == 0.0
 
 
 def _flow(rng, b=1, h=16, w=32, scale=5.0):
@@ -41,18 +59,22 @@ def test_banded_scatter_border_double_add(rng):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_flow_project_hole_fill_cond_paths(rng):
-    """hole_fill routes through the pipeline-inside-cond structure; both the
-    in-bounds (pallas) and oversize (einsum) branches must agree with the
-    plain XLA composition."""
+def test_scatter4_cond_pipeline_paths(rng):
+    """The pipeline-inside-cond structure (average + hole fill in both
+    branches): the in-bounds (pallas) and oversize (einsum) branches must
+    agree with the plain XLA composition.  (The public flow_project only
+    takes this path on TPU; here the internals run in interpret mode.)"""
     import functools
     flow = _flow(rng, b=1, h=16, w=224)       # tw=112 -> 2 column tiles
     for oversize in (False, True):
         f = flow
         if oversize:                           # leaves tile 0's slab
             f = f.at[0, 3, 111].set(jnp.asarray([40.0, 1.0]))
-        got = P.flow_project(f, hole_fill=True)
         iy_t, iy_b, ix_l, ix_r, vals = jax.vmap(P._scatter_prep)(f)
+        post = lambda acc: P._finalize_batched(acc[..., :2], acc[..., 2],
+                                               True, f.dtype)
+        got = P._scatter4_cond(iy_t, iy_b, ix_l, ix_r, vals, 16, 112,
+                               post=post)
         accum = jax.vmap(P._scatter4_onehot)(iy_t, iy_b, ix_l, ix_r, vals)
         fin = functools.partial(P._finalize, do_fill=True, dtype=f.dtype)
         want = jax.vmap(fin)(accum[..., :2], accum[..., 2])
@@ -60,10 +82,9 @@ def test_flow_project_hole_fill_cond_paths(rng):
                                    rtol=1e-5, atol=1e-5)
 
 
-def test_depth_flow_project_banded_matches_reference_golden(rng):
-    """depth_flow_project now routes through the banded cond pipeline at
-    fitting shapes; check against the existing golden oracle path (plain
-    _scatter4 + average)."""
+def test_depth_flow_project_matches_reference_golden(rng):
+    """depth_flow_project through the public API (XLA path on CPU, banded
+    cond pipeline on TPU) vs the golden composition."""
     b, h, w = 1, 16, 32
     flow = _flow(rng, b=b)
     depth_inv = jnp.asarray(rng.rand(b, h, w).astype(np.float32) + 0.1)

@@ -254,7 +254,10 @@ def _filter_interpolate_2d_bandmm(image, flow, filt, filter_size,
 def _bandmm_pallas_params(h, w, c):
     """Pick (band, tw) grid parameters for the banded Pallas kernel, or None
     if the shape doesn't fit its contract (tile divisibility, channel count —
-    wide context tensors blow the per-tile VMEM slab budget)."""
+    wide context tensors blow the per-tile VMEM slab budget) or there is no
+    real TPU (interpret mode is reserved for the dedicated parity tests)."""
+    if jax.default_backend() != "tpu":
+        return None
     if c > 8 or h % 8 != 0:
         return None
     band = 16 if h % 16 == 0 else 8
@@ -490,8 +493,11 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
     if impl == "pallas":
         return _filter_interpolate_pallas(image, flow, filt, filter_size)
     if impl == "slab":
+        # Pallas only on real TPU (params resolve None off-TPU): interpret
+        # mode is reserved for the dedicated parity tests, which call
+        # _filter_interpolate_slab directly
         params = _bandmm_pallas_params(*image.shape[1:])
-        if params is None:      # shape outside the kernel contract
+        if params is None:      # shape outside the kernel contract / no TPU
             impl = "block"
         else:
             return _filter_interpolate_slab(image, flow, filt, filter_size,

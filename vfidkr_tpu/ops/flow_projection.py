@@ -87,7 +87,11 @@ def _use_pallas() -> bool:
 
 def _band_scatter_params(h, w, c):
     """(band, tw) grid parameters for the banded Pallas scatter, or None if
-    the shape doesn't fit its contract."""
+    the shape doesn't fit its contract or there is no real TPU (interpret
+    mode is reserved for the dedicated parity tests — too slow for model
+    graphs on CPU)."""
+    if jax.default_backend() != "tpu":
+        return None
     if c > 8 or h % 8 != 0:
         return None
     band = 16 if h % 16 == 0 else 8
@@ -293,7 +297,7 @@ def fill_holes_batched(count: jax.Array, out: jax.Array) -> jax.Array:
     from vfidkr_tpu.ops.pallas.fillhole_kernel import (
         fill_holes_fits, fill_holes_pallas)
     b, h, w = count.shape
-    if fill_holes_fits(h, w):
+    if jax.default_backend() == "tpu" and fill_holes_fits(h, w):
         return fill_holes_pallas(count, out)
     return jax.vmap(fill_holes)(count, out)
 

@@ -7,10 +7,17 @@ sharding rows across chips: each device holds ``H/n + 2*halo`` rows, halo
 rows are exchanged with mesh neighbours over ICI via ``ppermute``, the
 (local) network runs per-shard, and the halos are cropped off the output.
 
-Exact for operators whose receptive field fits in ``halo`` rows; for the full
-DAIN pipeline (downsampling pyramids + flows up to W/2) it is the standard
-tiled-inference approximation — pick ``halo`` >= the largest expected motion
-+ network context (the eval default of 64 covers Vimeo-scale motion).
+Exactness contract (measured in tests/test_parallel_dain.py): operators
+whose receptive field fits in ``halo`` rows (the scatter/warp op chain with
+|flow| + window support <= halo) are EXACT everywhere except within
+flow-support of the GLOBAL top/bottom frame edge, where a local block cannot
+reproduce the reference's frame-boundary semantics (edge-replicated halo
+rows act as phantom scatter sources, and the frame clamp is local).  The
+hole fill's nearest-filled search is global and therefore approximate under
+tiling.  For the full DAIN pipeline (downsampling pyramids + flows up to
+W/2) this is the standard tiled-inference approximation — pick ``halo`` >=
+the largest expected motion + network context (the eval default of 64
+covers Vimeo-scale motion).
 """
 
 from __future__ import annotations
@@ -59,11 +66,15 @@ def halo_exchange_rows(x: jax.Array, halo: int, axis_name: str,
 def spatial_shard_fn(fn: Callable, mesh: Mesh, halo: int,
                      axis_name: str = "spatial",
                      edge_mode: str = "edge") -> Callable:
-    """Wrap ``fn(*arrays) -> array`` (all NHWC, same H) so it runs sharded
-    over rows of the given mesh axis with halo exchange.
+    """Wrap ``fn(*arrays) -> array-or-pytree`` (all NHWC, same H) so it runs
+    sharded over rows of the given mesh axis with halo exchange.
 
     The wrapped function takes/returns global arrays; H must divide by the
-    axis size, and fn must preserve H (stride-1 semantics overall).
+    axis size, and fn must preserve H (stride-1 semantics overall).  For a
+    pipeline with internal downsampling (DAIN: PWC /64, U-Net /32) pick
+    ``halo`` so that H/axis_size + 2*halo satisfies the divisibility and
+    halo >= max expected |flow| + op support (64 covers Vimeo-scale motion;
+    exactness contract measured in tests/test_parallel_dain.py).
     """
     spec = P(None, axis_name, None, None)
 
@@ -71,7 +82,8 @@ def spatial_shard_fn(fn: Callable, mesh: Mesh, halo: int,
         padded = [halo_exchange_rows(a, halo, axis_name, edge_mode)
                   for a in arrays]
         out = fn(*padded)
-        return out[:, halo:out.shape[1] - halo]
+        return jax.tree_util.tree_map(
+            lambda o: o[:, halo:o.shape[1] - halo], out)
 
     def wrapper(*arrays):
         sh = jax.shard_map(local_fn, mesh=mesh,
@@ -80,3 +92,17 @@ def spatial_shard_fn(fn: Callable, mesh: Mesh, halo: int,
         return sh(*arrays)
 
     return wrapper
+
+
+def shard_model_rows(apply_fn: Callable, n_shards: int, halo: int = 64):
+    """Convenience for the drivers: row-shard a full model forward over the
+    first ``n_shards`` local devices.  ``apply_fn(i0, i2) -> pytree`` of
+    NHWC arrays.  Frames n_shards x taller than one chip's HBM limit run at
+    the same per-chip footprint (the reference's 16 GB <-> 720p OOM wall,
+    Colab_DAIN.ipynb)."""
+    import numpy as np
+    devs = jax.devices()
+    if len(devs) < n_shards:
+        raise ValueError(f"--spatial-shards {n_shards} > {len(devs)} devices")
+    mesh = Mesh(np.array(devs[:n_shards]), ("spatial",))
+    return spatial_shard_fn(apply_fn, mesh, halo)
