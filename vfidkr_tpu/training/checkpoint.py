@@ -74,6 +74,9 @@ class CheckpointManager:
     def save_epoch(self, epoch: int, state: Any):
         path = self._path(f"epoch{epoch}")
         self._ckpt.save(path, jax.device_get(state), force=True)
+        # orbax saves are async: finalize before deleting the previous epoch
+        # (and so process exit can't strand a *.orbax-checkpoint-tmp dir)
+        self._ckpt.wait_until_finished()
         prev = self._path(f"epoch{epoch - 1}")
         if os.path.exists(prev):
             import shutil
@@ -81,6 +84,7 @@ class CheckpointManager:
 
     def save_best(self, state: Any):
         self._ckpt.save(self._path("best"), jax.device_get(state), force=True)
+        self._ckpt.wait_until_finished()
 
     def restore(self, name: str, target: Any):
         return self._ckpt.restore(self._path(name), target)
