@@ -404,3 +404,58 @@ def separable_conv_flow_bwd(vert, horiz, grad_flow):
                     for j in range(fs):
                         grad[y, x, j] += g * (j / s - off)
     return gv, gh
+
+
+def filter_interpolate_deformable_fwd(image, flow, filt, offsets, fs=4,
+                                      quadrant="static"):
+    """Literal translation of the dormant deformable variants:
+    FilterInterpolationLayer_gpu_forward_kernelfunc
+    (filterinterpolation_cuda_kernel.cu:29-255, quadrant="static") and
+    ..._deforconv (:1353-1498, quadrant="deformed"); ``filt=None`` gives
+    ..._nofilterwithdeforconv (:2070-2194).  The reference reads deformed
+    corners unclamped (UB out of frame); this oracle clamps them like the
+    TPU op."""
+    h, w, c = image.shape
+    half = fs // 2
+    out = np.zeros_like(image, np.float32)
+    offs = offsets.reshape(h, w, 2, fs, fs)
+    for y in range(h):
+        for x in range(w):
+            fx, fy = float(flow[y, x, 0]), float(flow[y, x, 1])
+            x2, y2 = x + fx, y + fy
+            if not (0 <= x2 <= w - 1 and 0 <= y2 <= h - 1
+                    and abs(fx) < w / 2 and abs(fy) < h / 2):
+                out[y, x] = image[y, x]
+                continue
+            ix_l = int(x2) + 1 - half
+            iy_t = int(y2) + 1 - half
+            alpha = x2 - int(x2)
+            beta = y2 - int(y2)
+            quad = np.zeros((2, 2, c), np.float32)   # [qy][qx]
+            for dj in range(fs):
+                tj = min(max(0, iy_t + dj), h - 1)
+                for di in range(fs):
+                    ti = min(max(0, ix_l + di), w - 1)
+                    frac_y = tj + float(offs[y, x, 0, dj, di])
+                    frac_x = ti + float(offs[y, x, 1, dj, di])
+                    top, left = int(frac_y), int(frac_x)    # C truncation
+                    phi_y, phi_x = frac_y - top, frac_x - left
+                    cl = lambda yy, xx: image[min(max(0, yy), h - 1),
+                                              min(max(0, xx), w - 1)]
+                    bi = ((1 - phi_x) * (1 - phi_y) * cl(top, left)
+                          + phi_x * (1 - phi_y) * cl(top, left + 1)
+                          + (1 - phi_x) * phi_y * cl(top + 1, left)
+                          + phi_x * phi_y * cl(top + 1, left + 1))
+                    if filt is not None:
+                        bi = bi * float(filt[y, x, dj * fs + di])
+                    if quadrant == "static":
+                        qy, qx = int(dj >= half), int(di >= half)
+                    else:
+                        qy = int(frac_y > y2)
+                        qx = int(frac_x > x2)
+                    quad[qy, qx] += bi
+            out[y, x] = ((1 - alpha) * (1 - beta) * quad[0, 0]
+                         + alpha * (1 - beta) * quad[0, 1]
+                         + (1 - alpha) * beta * quad[1, 0]
+                         + alpha * beta * quad[1, 1])
+    return out

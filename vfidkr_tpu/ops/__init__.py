@@ -4,7 +4,11 @@ package).  All ops are pure functions over NHWC arrays, vmap/jit/shard_map
 compatible, with reference-exact forward and backward semantics.
 """
 
-from vfidkr_tpu.ops.filter_interpolation import filter_interpolate
+from vfidkr_tpu.ops.filter_interpolation import (
+    filter_interpolate,
+    filter_interpolate_deformable,
+    filter_interpolate_nofilter_deformable,
+)
 from vfidkr_tpu.ops.flow_projection import (
     depth_flow_project,
     fill_holes,
@@ -17,6 +21,8 @@ from vfidkr_tpu.ops.separable_conv import separable_conv, separable_conv_flow
 
 __all__ = [
     "filter_interpolate",
+    "filter_interpolate_deformable",
+    "filter_interpolate_nofilter_deformable",
     "flow_project",
     "depth_flow_project",
     "min_depth_flow_project",

@@ -468,6 +468,133 @@ def _filter_interpolate_2d(image: jax.Array, flow: jax.Array, filt: jax.Array,
     return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
 
 
+def _deformable_core(image, flow, filt, offsets, filter_size, quadrant):
+    """Shared math of the three deformable variants (see
+    filter_interpolate_deformable).  image (H,W,C), flow (H,W,2), filt
+    (H,W,fs*fs) or None, offsets (H,W,2*fs*fs) with the first fs*fs channels
+    the per-tap Y offsets and the next fs*fs the X offsets (reference
+    channel layout, filterinterpolation_cuda_kernel.cu:100-101)."""
+    h, w, c = image.shape
+    fs = filter_size
+    half = fs // 2
+
+    valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, fs)
+    x2 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + flow[..., 0]
+    y2 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + flow[..., 1]
+
+    # deformed per-tap sample positions: clamped tap + learned offset
+    # (reference :94-101; the filter INDEX stays the unclamped tap)
+    dj_g = jnp.arange(fs, dtype=jnp.int32)
+    di_g = jnp.arange(fs, dtype=jnp.int32)
+    tap_y = jnp.clip(iy_t[..., None, None] + dj_g[:, None], 0, h - 1)
+    tap_x = jnp.clip(ix_l[..., None, None] + di_g[None, :], 0, w - 1)
+    off = offsets.reshape(h, w, 2, fs, fs)
+    frac_y = tap_y.astype(jnp.float32) + off[:, :, 0]          # (h,w,fs,fs)
+    frac_x = tap_x.astype(jnp.float32) + off[:, :, 1]
+
+    # reference uses C int() truncation (toward zero) on the possibly
+    # negative deformed coords; the corner reads are UNCLAMPED there (UB for
+    # out-of-frame offsets) — we clamp the corners to the frame (the only
+    # defined-behaviour choice; joint clamp + edge pad == per-corner clamp)
+    top = jax.lax.stop_gradient(jnp.trunc(frac_y))
+    left = jax.lax.stop_gradient(jnp.trunc(frac_x))
+    phi_y = frac_y - top
+    phi_x = frac_x - left
+
+    ipad = jnp.pad(image.astype(jnp.float32), ((1, 1), (1, 1), (0, 0)),
+                   mode="edge")
+    ys = jnp.clip(top.astype(jnp.int32), -1, h - 1) + 1
+    xs = jnp.clip(left.astype(jnp.int32), -1, w - 1) + 1
+    starts = jnp.stack([ys.reshape(-1), xs.reshape(-1)], axis=-1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    corners = jax.lax.gather(
+        ipad, starts, dnums, slice_sizes=(2, 2, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS).reshape(
+            h, w, fs, fs, 2, 2, c)
+
+    w_tl = ((1 - phi_x) * (1 - phi_y))[..., None]
+    w_tr = (phi_x * (1 - phi_y))[..., None]
+    w_bl = ((1 - phi_x) * phi_y)[..., None]
+    w_br = (phi_x * phi_y)[..., None]
+    bi = (w_tl * corners[..., 0, 0, :] + w_tr * corners[..., 0, 1, :]
+          + w_bl * corners[..., 1, 0, :] + w_br * corners[..., 1, 1, :])
+
+    if filt is not None:
+        bi = bi * filt.reshape(h, w, fs, fs)[..., None]
+
+    if quadrant == "static":
+        # quadrant membership by tap position (gpu_forward :91-?: loop
+        # bounds split at int(x2)/int(y2) == di/dj < half)
+        wx = jnp.stack([alpha if di >= half else 1.0 - alpha
+                        for di in range(fs)], axis=-1)
+        wy = jnp.stack([beta if dj >= half else 1.0 - beta
+                        for dj in range(fs)], axis=-1)
+        qw = (wy[..., :, None] * wx[..., None, :])[..., None]
+    else:
+        # quadrant by the DEFORMED position vs the landing point
+        # (_deforconv :1441-1470: fracX <= x2, fracY <= y2)
+        qx = jnp.where(frac_x <= x2[..., None, None], 1.0 - alpha[..., None, None],
+                       alpha[..., None, None])
+        qy = jnp.where(frac_y <= y2[..., None, None], 1.0 - beta[..., None, None],
+                       beta[..., None, None])
+        qw = (qx * qy)[..., None]
+
+    out = jnp.sum(qw * bi, axis=(2, 3))
+    fallback = jax.lax.stop_gradient(image.astype(jnp.float32))
+    return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("filter_size", "quadrant"))
+def filter_interpolate_deformable(image: jax.Array, flow: jax.Array,
+                                  filt: jax.Array, offsets: jax.Array,
+                                  filter_size: int = 4,
+                                  quadrant: str = "static") -> jax.Array:
+    """Deformable-tap filter interpolation — the compiled-but-dormant
+    variants of the op the paper is named after.
+
+    ``quadrant="static"``  == ``FilterInterpolationLayer_gpu_forward``
+    (filterinterpolation_cuda_kernel.cu:29-255): each 4x4 tap reads a
+    bilinear sample at (clamped tap + learned offset); quadrant membership
+    is by tap position, exactly as the active ``_ori`` variant.
+
+    ``quadrant="deformed"`` == ``..._gpu_forward_kernelfunc_deforconv``
+    (:1353-1498): same samples, but each tap joins the TL/TR/BL/BR quadrant
+    by its DEFORMED position vs the landing point (fracX <= x2, fracY <= y2).
+
+    Args:
+      image:   (B, H, W, C).
+      flow:    (B, H, W, 2) (fx, fy).
+      filt:    (B, H, W, fs*fs) per-tap kernel.
+      offsets: (B, H, W, 2*fs*fs) — first fs*fs channels per-tap Y offsets,
+               next fs*fs X offsets (reference layout).
+
+    Gradients (image/flow/filter/offset) come from autodiff, which
+    reproduces the reference backward (:1580-2067): int() truncations and
+    quadrant comparisons carry no derivative; offset grads flow through the
+    bilinear phase weights (the ``BiInput`` terms), flow grads through
+    alpha/beta.  The reference reads out-of-frame deformed corners
+    unclamped (undefined behaviour); we clamp them to the frame.
+    """
+    core = functools.partial(_deformable_core, filter_size=filter_size,
+                             quadrant=quadrant)
+    return jax.vmap(core)(image, flow, filt, offsets)
+
+
+@functools.partial(jax.jit, static_argnames=("filter_size",))
+def filter_interpolate_nofilter_deformable(image: jax.Array, flow: jax.Array,
+                                           offsets: jax.Array,
+                                           filter_size: int = 4) -> jax.Array:
+    """``..._gpu_forward_kernelfunc_nofilterwithdeforconv`` (:2070-2194):
+    the deformed-quadrant variant without the per-tap filter weights
+    (inputs: image, flow, offsets only)."""
+    core = functools.partial(_deformable_core, filt=None,
+                             filter_size=filter_size, quadrant="deformed")
+    return jax.vmap(lambda im, fl, of: core(im, fl, offsets=of))(
+        image, flow, offsets)
+
+
 @functools.partial(jax.jit, static_argnames=("filter_size", "impl"))
 def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
                        filter_size: int = 4, impl: str = "gather") -> jax.Array:
