@@ -44,7 +44,7 @@ def main():
     from vfidkr_tpu.utils import (interpolation_error, pad_to_multiple, psnr,
                                   ssim, unpad)
 
-    model = DAIN()
+    model = DAIN(filter_impl="slab8")   # PNG-decoded frames: 8-bit grid
     params = None
     # one jitted function; jax.jit caches one compilation per padded shape
     fwd = jax.jit(

@@ -40,7 +40,7 @@ def main():
     from vfidkr_tpu.models import DAIN
     from vfidkr_tpu.utils import pad_to_multiple, psnr, ssim, unpad
 
-    model = DAIN()
+    model = DAIN(filter_impl="slab8")   # PNG-decoded frames: 8-bit grid
     _, test_paths = vimeo90k_splits(args.dataset_path)
     ds = Vimeo90KDataset(args.dataset_path, test_paths, args.batch_size,
                          augment=False)

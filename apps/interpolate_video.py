@@ -63,6 +63,8 @@ def main():
                  "use --model DAIN_slowmotion for other rates")
     kwargs = {"timestep": args.time_step} if args.model == "DAIN_slowmotion" \
         else {}
+    kwargs["filter_impl"] = "slab8"   # PNG-decoded frames are on the
+                                      # 8-bit grid (exact fast path)
     model = build_model(args.model, **kwargs)
 
     def load(name):

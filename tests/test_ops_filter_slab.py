@@ -54,6 +54,17 @@ def test_slab_oversize_flow_conds_to_exact_path(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_slab8_exact_on_8bit_grid(rng):
+    """limbs=1 ("slab8") is exact for inputs on the 8-bit grid (k/255
+    decoded frames): x*255 recovers bf16-exact small integers."""
+    image, flow, filt = _case(rng, b=2)
+    image = jnp.round(image * 255.0) / 255.0
+    want = filter_interpolate(image, flow, filt, impl="gather")
+    got = _filter_interpolate_slab(image, flow, filt, 4, 16, image.shape[2], 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_slab_backward_matches_block(rng):
     image, flow, filt = _case(rng)
 

@@ -267,8 +267,9 @@ def _bandmm_pallas_params(h, w, c):
     return None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _filter_interpolate_slab(image, flow, filt, filter_size, band, tw):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _filter_interpolate_slab(image, flow, filt, filter_size, band, tw,
+                             limbs=3):
     """Default TPU path: banded one-hot-matmul Pallas kernel (see
     ops/pallas/filter_bandmm_kernel.py) with a whole-call ``lax.cond``
     fallback to the exact XLA block path when any flow exceeds the slab
@@ -300,17 +301,26 @@ def _filter_interpolate_slab(image, flow, filt, filter_size, band, tw):
     oversize = jnp.any(valid & ~in_slab)
 
     img32 = image.astype(jnp.float32)
+    # limbs=1 is the "slab8" contract: inputs on the 8-bit grid (k/255,
+    # i.e. decoded frames) — x*255 recovers exact small integers that fit
+    # ONE bf16 truncation limb (one-hot products <= 2*255 are even, hence
+    # bf16-exact), a third of the MXU passes.  limbs=3 is exact for any
+    # f32.  (Dynamic selection was tried and fails on this toolchain: an
+    # XLA cond between two pallas calls and in-kernel pl.when predication
+    # both execute the skipped dots; only compile-time structure helps.)
 
     def fast(args):
         img32, base_v, base_u, kw = args
-        return filter_bandmm_pallas(img32, base_v, base_u, kw,
-                                    band=band, tw=tw, rh=rh)
+        out = filter_bandmm_pallas(img32 * 255.0, base_v, base_u, kw,
+                                   band=band, tw=tw, rh=rh, limbs=limbs)
+        return out * (1.0 / 255.0)
 
     def exact(args):
         img32, base_v, base_u, kw = args
         return _block_from_geometry(img32, base_v, base_u, kw, fs)
 
-    out = jax.lax.cond(oversize, exact, fast, (img32, base_v, base_u, kw))
+    out = jax.lax.cond(oversize, exact, fast,
+                       (img32, base_v, base_u, kw))
     fallback = jax.lax.stop_gradient(img32)
     return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
 
@@ -342,12 +352,13 @@ def _block_from_geometry(img32, base_v, base_u, kw, fs):
     return jax.vmap(one)(ipad, base_v, base_u, kw)
 
 
-def _fi_slab_fwd(image, flow, filt, filter_size, band, tw):
-    return (_filter_interpolate_slab(image, flow, filt, filter_size, band, tw),
+def _fi_slab_fwd(image, flow, filt, filter_size, band, tw, limbs=3):
+    return (_filter_interpolate_slab(image, flow, filt, filter_size, band,
+                                     tw, limbs),
             (image, flow, filt))
 
 
-def _fi_slab_bwd(filter_size, band, tw, res, g):
+def _fi_slab_bwd(filter_size, band, tw, limbs, res, g):
     image, flow, filt = res
     block = jax.vmap(functools.partial(_filter_interpolate_2d_block,
                                        filter_size=filter_size))
@@ -619,16 +630,19 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
     """
     if impl == "pallas":
         return _filter_interpolate_pallas(image, flow, filt, filter_size)
-    if impl == "slab":
+    if impl in ("slab", "slab8"):
         # Pallas only on real TPU (params resolve None off-TPU): interpret
         # mode is reserved for the dedicated parity tests, which call
-        # _filter_interpolate_slab directly
+        # _filter_interpolate_slab directly.  "slab8" = single-limb fast
+        # path, exact ONLY for inputs on the 8-bit grid (k/255 decoded
+        # frames) — the eval drivers' input contract.
         params = _bandmm_pallas_params(*image.shape[1:])
         if params is None:      # shape outside the kernel contract / no TPU
             impl = "block"
         else:
             return _filter_interpolate_slab(image, flow, filt, filter_size,
-                                            *params)
+                                            *params,
+                                            1 if impl == "slab8" else 3)
     fn = {
         "separable": _filter_interpolate_2d_onehot,
         "gather": _filter_interpolate_2d,

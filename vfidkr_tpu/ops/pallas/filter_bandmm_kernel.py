@@ -58,37 +58,65 @@ def _rv_for(band: int) -> int:
 def _make_kernel(p: int, u_slab: int, c: int, limbs: int, s: int):
     fs = _FS
 
-    def kernel(l0_ref, l1_ref, l2_ref, bul_ref, bs_ref, kw_ref, out_ref):
-        limb_refs = (l0_ref, l1_ref, l2_ref)[:limbs]
+    def kernel(slab_ref, bul_ref, bs_ref, kw_ref, out_ref, acc_ref):
+        def trunc(x):
+            return jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(x, jnp.uint32)
+                & jnp.uint32(0xFFFF0000), jnp.float32)
 
         bul = bul_ref[0, 0, 0]                       # (1, P) int32
         bs = bs_ref[0, 0, 0]                         # (1, P) int32
         uiota = jax.lax.broadcasted_iota(jnp.int32, (u_slab, p), 0)
         riota = jax.lax.broadcasted_iota(jnp.int32, (s, p), 0)
 
-        acc = [jnp.zeros((1, p), jnp.float32) for _ in range(c)]
-        for di in range(fs):
+        def selects(di):
             onehot = (uiota == bul + di).astype(jnp.bfloat16)
-            # vertical select weights for this tap column, (s, P)
             w2 = jnp.zeros((s, p), jnp.float32)
             for dj in range(fs):
                 w2 = w2 + jnp.where(riota == bs + dj,
                                     kw_ref[0, 0, 0, dj * fs + di][None, :],
                                     0.0)
-            for cc in range(c):
-                t = jax.lax.dot_general(
-                    limb_refs[0][0, 0, 0, cc], onehot,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # (s, P)
-                for l in range(1, limbs):
-                    t = t + jax.lax.dot_general(
-                        limb_refs[l][0, 0, 0, cc], onehot,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                acc[cc] = acc[cc] + jnp.sum(w2 * t, axis=0, keepdims=True)
+            return onehot, w2
+
+        def accumulate(limb_of, init):
+            for di in range(fs):
+                onehot, w2 = selects(di)
+                for cc in range(c):
+                    t = None
+                    for lv in limb_of(cc):
+                        d = jax.lax.dot_general(
+                            lv, onehot, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # (s, P)
+                        t = d if t is None else t + d
+                    contrib = jnp.sum(w2 * t, axis=0)
+                    if init and di == 0:
+                        acc_ref[cc] = contrib
+                    else:
+                        acc_ref[cc] += contrib
+
+        # limb split happens IN-KERNEL from one f32 slab: materialising the
+        # residual limbs' window arrays in XLA costs ~1 ms/limb even when
+        # the dots are skipped
+        slab = [slab_ref[0, 0, 0, cc] for cc in range(c)]
+        l0 = [trunc(x) for x in slab]
+        accumulate(lambda cc: [l0[cc].astype(jnp.bfloat16)], init=True)
+
+        if limbs > 1:
+            # NOTE: a runtime skip of the residual limbs was tried (pl.when
+            # on a flag, and an XLA cond between kernel variants) — both
+            # execute the "skipped" dots on this toolchain; the 8-bit fast
+            # path is therefore the STATIC limbs=1 variant ("slab8").
+            def resid_limbs(cc):
+                r1 = slab[cc] - l0[cc]
+                if limbs == 2:
+                    return [r1.astype(jnp.bfloat16)]
+                t1 = trunc(r1)
+                return [t1.astype(jnp.bfloat16),
+                        (r1 - t1).astype(jnp.bfloat16)]
+            accumulate(resid_limbs, init=False)
 
         for cc in range(c):
-            out_ref[0, 0, 0, cc] = acc[cc][0]
+            out_ref[0, 0, 0, cc] = acc_ref[cc]
 
     return kernel
 
@@ -111,7 +139,10 @@ def filter_bandmm_pallas(image, base_v, base_u, kw,
       band:   output rows per grid step (s = band + 2*rv + fs - 1 <= 128).
       tw:     output cols per grid step (must divide W).
       rh:     horizontal flow bound; u_slab = tw + 2*rh + fs - 1.
-      limbs:  bf16 truncation limbs (3 = exact f32).
+      limbs:  bf16 truncation limbs of the 255-scaled field computed
+              in-kernel (3 = exact for any f32; 1 = exact ONLY for inputs
+              on the 8-bit grid - the "slab8" contract - at a third of the
+              MXU passes).
 
     Returns:
       (B, H, W, C) f32 weighted window sums, exact wherever
@@ -124,7 +155,7 @@ def filter_bandmm_pallas(image, base_v, base_u, kw,
     rv = _rv_for(band)
     s = band + 2 * rv + fs - 1            # 127 for band=8; sublanes pad to _S
     assert h % band == 0 and w % tw == 0, (h, w, band, tw)
-    assert limbs in (2, 3)
+    assert limbs in (1, 2, 3)
     nb, nj = h // band, w // tw
     u_slab = tw + 2 * rh + fs - 1
     p = band * tw
@@ -137,32 +168,15 @@ def filter_bandmm_pallas(image, base_v, base_u, kw,
                          (rv + pad_lo, rv + pad_hi + (_S - s)),
                          (rh + pad_lo, rh + pad_hi)), mode="edge")
 
-    # f32 -> exact bf16 truncation limbs (bitmask truncation, NOT a bf16
-    # convert round-trip: XLA elides f32->bf16->f32 pairs under jit)
-    def trunc(x):
-        return jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(x, jnp.uint32)
-            & jnp.uint32(0xFFFF0000), jnp.float32)
-
-    lim = []
-    resid = ipad
-    for k in range(limbs):
-        t = trunc(resid) if k < limbs - 1 else resid
-        lim.append(t.astype(jnp.bfloat16))
-        resid = resid - t
-
-    # per-(band, tile) slabs: (B, nb, nj, c, _S, u_slab)
-    def slabs_of(x):
-        rows = jnp.stack([jax.lax.dynamic_slice_in_dim(x, b0 * band, _S,
-                                                       axis=2)
-                          for b0 in range(nb)], axis=1)   # (B,nb,C,_S,Wp)
-        return jnp.stack([jax.lax.dynamic_slice_in_dim(rows, j * tw, u_slab,
-                                                       axis=4)
-                          for j in range(nj)], axis=2)    # (B,nb,nj,C,_S,u)
-
-    slabs = [slabs_of(x) for x in lim]
-    while len(slabs) < 3:
-        slabs.append(slabs[0][..., :1, :1, :1])           # unused dummy
+    # per-(band, tile) f32 slabs (B, nb, nj, c, _S, u_slab) — ONE window
+    # array; the bf16 truncation limbs are computed in-kernel (materialising
+    # residual-limb windows in XLA costs ~1 ms/limb even when skipped)
+    rows = jnp.stack([jax.lax.dynamic_slice_in_dim(ipad, b0 * band, _S,
+                                                   axis=2)
+                      for b0 in range(nb)], axis=1)       # (B,nb,C,_S,Wp)
+    slabs = jnp.stack([jax.lax.dynamic_slice_in_dim(rows, j * tw, u_slab,
+                                                    axis=4)
+                       for j in range(nj)], axis=2)       # (B,nb,nj,C,_S,u)
 
     # per-pixel local coords / weights, pixels on lanes: (B, nb, nj, k, P)
     yy = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
@@ -185,21 +199,16 @@ def filter_bandmm_pallas(image, base_v, base_u, kw,
     slab_spec = pl.BlockSpec((1, 1, 1, c, _S, u_slab),
                              lambda bi, i, j: (bi, i, j, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    dummy_spec = pl.BlockSpec((1, 1, 1, 1, 1, 1),
-                              lambda bi, i, j: (bi, i, j, 0, 0, 0),
-                              memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         _make_kernel(p, u_slab, c, limbs, _S),
         grid=(b, nb, nj),
-        in_specs=[slab_spec,
-                  slab_spec if limbs >= 2 else dummy_spec,
-                  slab_spec if limbs >= 3 else dummy_spec,
-                  px_spec(1), px_spec(1), px_spec(fs * fs)],
+        in_specs=[slab_spec, px_spec(1), px_spec(1), px_spec(fs * fs)],
         out_specs=px_spec(c),
         out_shape=jax.ShapeDtypeStruct((b, nb, nj, c, p), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, p), jnp.float32)],
         interpret=jax.default_backend() == "cpu",
-    )(slabs[0], slabs[1], slabs[2], bul_t, bs_t, kw_t)
+    )(slabs, bul_t, bs_t, kw_t)
 
     return (out.reshape(b, nb, nj, c, band, tw)
             .transpose(0, 1, 4, 2, 5, 3).reshape(b, h, w, c))
