@@ -115,7 +115,8 @@ def _oversize_pred(iy_t, ix_l, vals, band, tw):
                                   | (jnp.abs(ix_l - xx) > 31)))
 
 
-def _scatter4_cond(iy_t, iy_b, ix_l, ix_r, vals, band, tw, post=None):
+def _scatter4_cond(iy_t, iy_b, ix_l, ix_r, vals, band, tw, post=None,
+                   int_channels=0):
     """Banded Pallas scatter (5x fewer MACs than the whole-grid one-hot
     einsum — see ops/pallas/projection_band_kernel.py) with a whole-call
     lax.cond fallback to the XLA path when any contributing pixel lands
@@ -131,7 +132,8 @@ def _scatter4_cond(iy_t, iy_b, ix_l, ix_r, vals, band, tw, post=None):
     oversize = _oversize_pred(iy_t, ix_l, vals, band, tw)
 
     def fast(args):
-        return post(scatter4_band_pallas(*args, band=band, tw=tw))
+        return post(scatter4_band_pallas(*args, band=band, tw=tw,
+                                         int_channels=int_channels))
 
     def exact(args):
         iy_t, iy_b, ix_l, ix_r, vals = args
@@ -332,8 +334,9 @@ def flow_project(flow: jax.Array, hole_fill: bool = False) -> jax.Array:
         # fill INSIDE the cond branches — see _scatter4_cond on why
         post = lambda acc: _finalize_batched(acc[..., :2], acc[..., 2],
                                              hole_fill, flow.dtype)
+        # the trailing count channel is {0,1} — single-limb exact
         return _scatter4_cond(iy_t, iy_b, ix_l, ix_r, vals, *params,
-                              post=post)
+                              post=post, int_channels=1)
     accum = _scatter4(iy_t, iy_b, ix_l, ix_r, vals)
     return _finalize_batched(accum[..., :2], accum[..., 2], hole_fill,
                              flow.dtype)

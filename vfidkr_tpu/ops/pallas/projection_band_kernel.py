@@ -47,7 +47,7 @@ def _bounds(band: int, tw: int, rh: int):
     return rv, u_slab
 
 
-def _make_kernel(p: int, u_slab: int, c: int, limbs: int, band: int,
+def _make_kernel(p: int, u_slab: int, c: int, limbs_of, band: int,
                  group: int):
     def kernel(bs_ref, bu_ref, vals_ref, out_ref):
         i = pl.program_id(2)
@@ -67,15 +67,17 @@ def _make_kernel(p: int, u_slab: int, c: int, limbs: int, band: int,
         colhot = ((uiota == bu[:, 0:1]).astype(jnp.bfloat16)
                   + (uiota == bu[:, 1:2]).astype(jnp.bfloat16))
 
-        vals = vals_ref[0, 0, 0]                     # (P, c*limbs) bf16
+        vals = vals_ref[0, 0, 0]                     # (P, sum(limbs_of)) bf16
+        base = 0
         for cc in range(c):
             acc = None
-            for l in range(limbs):
-                colval = colhot * vals[:, cc * limbs + l][:, None]
+            for l in range(limbs_of[cc]):
+                colval = colhot * vals[:, base + l][:, None]
                 d = jax.lax.dot_general(
                     rowhot, colval, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)     # (s, u_slab)
                 acc = d if acc is None else acc + d
+            base += limbs_of[cc]
             r0 = (i % group) * band
             out_ref[0, 0, 0, cc, pl.ds(r0, _S), :] += acc
 
@@ -83,16 +85,21 @@ def _make_kernel(p: int, u_slab: int, c: int, limbs: int, band: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("band", "tw", "rh", "limbs", "group"))
+                   static_argnames=("band", "tw", "rh", "limbs", "group",
+                                    "int_channels"))
 def scatter4_band_pallas(bs_t, bs_b, bu_l, bu_r, vals,
                          band: int = 16, tw: int = 112, rh: int = 32,
-                         limbs: int = 3, group: int = 16):
+                         limbs: int = 3, group: int = 16,
+                         int_channels: int = 0):
     """Banded 4-neighbour scatter.
 
     Args:
       bs_t, bs_b: (B, H, W) int32 target rows (iy_t / clamped iy_b).
       bu_l, bu_r: (B, H, W) int32 target cols.
       vals:       (B, H, W, C) f32 scatter values (invalid pixels zeroed).
+      int_channels: number of TRAILING channels whose values are small
+              integers (e.g. the hit count) — bf16-exact in ONE limb, so
+              their residual-limb dots are dropped.
 
     Returns:
       (B, H, W, C) f32 accumulated target grid — exact wherever
@@ -139,14 +146,17 @@ def scatter4_band_pallas(bs_t, bs_b, bu_l, bu_r, vals,
             jax.lax.bitcast_convert_type(x, jnp.uint32)
             & jnp.uint32(0xFFFF0000), jnp.float32)
 
-    limb_list = []
-    resid = vals.astype(jnp.float32)
-    for k in range(limbs):
-        t = trunc(resid) if k < limbs - 1 else resid
-        limb_list.append(t.astype(jnp.bfloat16))
-        resid = resid - t
-    vals_l = jnp.stack(limb_list, axis=-1).reshape(b, h, w, c * limbs)
-    vals_pk = px_subl(vals_l, c * limbs)
+    limbs_of = tuple(1 if cc >= c - int_channels else limbs
+                     for cc in range(c))
+    per_ch = []
+    for cc in range(c):
+        resid = vals[..., cc].astype(jnp.float32)
+        for k in range(limbs_of[cc]):
+            t = trunc(resid) if k < limbs_of[cc] - 1 else resid
+            per_ch.append(t.astype(jnp.bfloat16))
+            resid = resid - t
+    vals_l = jnp.stack(per_ch, axis=-1)
+    vals_pk = px_subl(vals_l, sum(limbs_of))
 
     spec5 = lambda k, sub: pl.BlockSpec(
         (1, 1, 1) + ((k, p) if not sub else (p, k)),
@@ -156,10 +166,10 @@ def scatter4_band_pallas(bs_t, bs_b, bu_l, bu_r, vals,
                             memory_space=pltpu.VMEM)
 
     strips = pl.pallas_call(
-        _make_kernel(p, u_slab, c, limbs, band, group),
+        _make_kernel(p, u_slab, c, limbs_of, band, group),
         grid=(b, nj, nb),
         in_specs=[spec5(2, False), spec5(2, True),
-                  spec5(c * limbs, True)],
+                  spec5(sum(limbs_of), True)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, nj, ng, c, hp_g, wp_j),
                                        jnp.float32),
