@@ -60,7 +60,8 @@ def test_slab8_exact_on_8bit_grid(rng):
     image, flow, filt = _case(rng, b=2)
     image = jnp.round(image * 255.0) / 255.0
     want = filter_interpolate(image, flow, filt, impl="gather")
-    got = _filter_interpolate_slab(image, flow, filt, 4, 16, image.shape[2], 1)
+    got = _filter_interpolate_slab(image, flow, filt, 4, 16, image.shape[2],
+                                   32, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 

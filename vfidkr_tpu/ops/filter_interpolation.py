@@ -261,15 +261,20 @@ def _bandmm_pallas_params(h, w, c):
     if c > 8 or h % 8 != 0:
         return None
     band = 16 if h % 16 == 0 else 8
-    for tw in (112, 128, 96, 64, 160, 80, 56, 32):
+    # (tw, rh) with u_slab = tw + 2*rh + 3 == 128 keeps the stage-1 dots on
+    # a single MXU K-tile (tw=64/rh=30 measured 40% faster than tw=112 with
+    # its 179-wide, 2-tile contraction)
+    if w % 64 == 0:
+        return band, 64, 30
+    for tw in (112, 128, 96, 160, 80, 56, 32):
         if w % tw == 0:
-            return band, tw
+            return band, tw, 32
     return None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _filter_interpolate_slab(image, flow, filt, filter_size, band, tw,
-                             limbs=3):
+                             rh=32, limbs=3):
     """Default TPU path: banded one-hot-matmul Pallas kernel (see
     ops/pallas/filter_bandmm_kernel.py) with a whole-call ``lax.cond``
     fallback to the exact XLA block path when any flow exceeds the slab
@@ -281,7 +286,7 @@ def _filter_interpolate_slab(image, flow, filt, filter_size, band, tw,
     fs = filter_size
     half = fs // 2
     pad_lo = half - 1
-    rv, rh = _rv_for(band), 32
+    rv = _rv_for(band)
     s = band + 2 * rv + fs - 1
     u_slab = tw + 2 * rh + fs - 1
 
@@ -352,13 +357,13 @@ def _block_from_geometry(img32, base_v, base_u, kw, fs):
     return jax.vmap(one)(ipad, base_v, base_u, kw)
 
 
-def _fi_slab_fwd(image, flow, filt, filter_size, band, tw, limbs=3):
+def _fi_slab_fwd(image, flow, filt, filter_size, band, tw, rh=32, limbs=3):
     return (_filter_interpolate_slab(image, flow, filt, filter_size, band,
-                                     tw, limbs),
+                                     tw, rh, limbs),
             (image, flow, filt))
 
 
-def _fi_slab_bwd(filter_size, band, tw, limbs, res, g):
+def _fi_slab_bwd(filter_size, band, tw, rh, limbs, res, g):
     image, flow, filt = res
     block = jax.vmap(functools.partial(_filter_interpolate_2d_block,
                                        filter_size=filter_size))
