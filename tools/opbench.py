@@ -23,7 +23,7 @@ def bench_filter_interpolate(h=256, w=448, b=2, c=3):
     flow = jnp.asarray((rng.rand(b, h, w, 2) - 0.5) * 20, jnp.float32)
     filt = jnp.asarray(rng.rand(b, h, w, 16), jnp.float32)
 
-    for impl in sys.argv[2:] or ("block", "bandmm"):
+    for impl in sys.argv[2:] or ("block", "slab", "slab8"):
         fn = lambda im: filter_interpolate(im, flow, filt, impl=impl)
         dt = device_time_slope(fn, img)
         print(f"filter_interpolate[{impl:8s}] B={b} {h}x{w}x{c}: "

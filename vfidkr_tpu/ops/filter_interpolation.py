@@ -74,7 +74,7 @@ def _filter_interpolate_2d_onehot(image, flow, filt, filter_size):
     APPROXIMATE: the row index is evaluated at the *tap column* instead of the
     output pixel (separable decomposition); results differ from the reference
     only where the vertical flow component changes within the 4-px tap window.
-    Exact modes: impl="gather" (XLA gather) or impl="pallas" (fused kernel).
+    Exact modes: impl="gather"/"block" (XLA) or impl="slab" (Pallas).
     """
     h, w, c = image.shape
     fs = filter_size
@@ -162,90 +162,6 @@ def _filter_interpolate_2d_block(image, flow, filt, filter_size):
     out = jnp.einsum("yxji,yxjic->yxc", weight, taps,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
-
-    fallback = jax.lax.stop_gradient(image.astype(jnp.float32))
-    return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
-
-
-def _filter_interpolate_2d_bandmm(image, flow, filt, filter_size,
-                                  rv: int = 32, band: int = 8,
-                                  limbs: int = 3):
-    """Exact gather-free formulation: per 8-row output band, the per-pixel
-    window read becomes (a) one one-hot MXU matmul over the *columns* of a
-    vertically-bounded row slab (horizontally exact for every flow — the slab
-    spans the full padded width), then (b) a cheap VPU masked-reduce ladder
-    over the ``2*rv + band + fs - 1`` candidate slab rows.
-
-    Exactness contract: identical to the gather oracle whenever
-    ``|fy| <= rv`` (vertical flow bound, in pixels); rarer larger flows use
-    ``fy`` clamped to the slab (documented approximation; impl="block" is the
-    strict path).  Horizontal flows are NOT bounded.
-
-    The f32 slab values are split into ``limbs`` bf16 limbs so the matmuls
-    run as DEFAULT-precision bf16 MXU passes with f32 accumulation (the
-    one-hot side is exactly representable): 3 limbs reconstruct f32 taps to
-    <= 1/2 ulp, at half the passes of a HIGHEST f32 einsum.
-
-    Reference math: filterinterpolation_cuda_kernel.cu:2692-2823.
-    """
-    h, w, c = image.shape
-    fs = filter_size
-    half = fs // 2
-    pad_lo, pad_hi = half - 1, fs - half
-    assert h % band == 0
-
-    valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, filter_size)
-    # per-tap combined weight, (h, w, fs, fs) indexed (dj, di)
-    wx = jnp.stack([alpha if di >= half else 1.0 - alpha for di in range(fs)],
-                   axis=-1)
-    wy = jnp.stack([beta if dj >= half else 1.0 - beta for dj in range(fs)],
-                   axis=-1)
-    kw = (filt.reshape(h, w, fs, fs) * wy[..., :, None] * wx[..., None, :])
-
-    ipad = jnp.pad(image.astype(jnp.float32),
-                   ((rv + pad_lo, rv + pad_hi), (pad_lo, pad_hi), (0, 0)),
-                   mode="edge")
-    base_u = ix_l + pad_lo                      # (h, w) in [0, w-1]
-    nb = h // band
-    s = band + 2 * rv + fs - 1                  # slab rows per band
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    base_s = jnp.clip(iy_t + rv + pad_lo - (yy // band) * band, 0, s - fs)
-
-    # slabs (nb, s, w+fs-1, c) and the 4 column-shifted copies
-    slabs = jnp.stack([jax.lax.dynamic_slice_in_dim(ipad, b0, s, axis=0)
-                       for b0 in range(0, h, band)])
-    rhs = jnp.stack([slabs[:, :, di:di + w, :] for di in range(fs)],
-                    axis=3)                      # (nb, s, u, di, c)
-    rhs = rhs.transpose(0, 2, 1, 3, 4).reshape(nb, w, s * fs * c)
-
-    # stage 1: one-hot column contraction on the MXU (bf16 limb passes)
-    uu = jax.lax.broadcasted_iota(jnp.int32, (nb, band * w, w), 2)
-    onehot = (uu == base_u.reshape(nb, band * w, 1)).astype(jnp.bfloat16)
-    t = jnp.zeros((nb, band * w, s * fs * c), jnp.float32)
-    resid = rhs
-    for _ in range(limbs):
-        # reduce_precision (not a bf16 convert round-trip: XLA elides
-        # f32->bf16->f32 convert pairs under jit, zeroing limbs 2+)
-        limb_f32 = jax.lax.reduce_precision(resid, 8, 7)
-        t = t + jnp.einsum("bpu,buk->bpk", onehot, limb_f32.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-        resid = resid - limb_f32
-    t = t.reshape(nb, band, w, s, fs, c)
-
-    # stage 2: masked-reduce ladder over the s candidate rows
-    riota = jax.lax.broadcasted_iota(jnp.int32, (nb, band, w, s), 3)
-    bs = base_s.reshape(nb, band, w, 1)
-    out = jnp.zeros((nb, band, w, c), jnp.float32)
-    kwb = kw.reshape(nb, band, w, fs, fs)
-    for di in range(fs):
-        w_s = jnp.zeros((nb, band, w, s), jnp.float32)
-        for dj in range(fs):
-            w_s = w_s + jnp.where(riota == bs + dj,
-                                  kwb[..., dj, di:di + 1], 0.0)
-        out = out + jnp.einsum("bpxs,bpxsc->bpxc", w_s, t[..., di, :],
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-    out = out.reshape(h, w, c)
 
     fallback = jax.lax.stop_gradient(image.astype(jnp.float32))
     return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
@@ -387,52 +303,6 @@ def _combined_weights(filt, alpha, beta, filter_size):
     kweights = filt.reshape(h, w, fs, fs)               # (y,x,dj,di)
     return (kweights * wy[..., :, None] * wx[..., None, :]).reshape(
         h, w, fs * fs)
-
-
-def _pallas_prep(image, flow, filt, filter_size):
-    """Batched geometry/weight prep for the Pallas kernel."""
-    fs = filter_size
-    half = fs // 2
-    pad_lo, pad_hi = half - 1, fs - half
-
-    def per_image(image, flow, filt):
-        valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, fs)
-        weights = _combined_weights(filt, alpha, beta, fs)
-        return valid, iy_t + pad_lo, ix_l + pad_lo, weights
-
-    valid, base_v, base_u, weights = jax.vmap(per_image)(image, flow, filt)
-    ipad = jnp.pad(image.astype(jnp.float32),
-                   ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)),
-                   mode="edge")
-    return valid, base_v, base_u, weights, ipad
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _filter_interpolate_pallas(image, flow, filt, filter_size):
-    """Fused TPU forward; batched (B,H,W,C).  Backward (defined below) reuses
-    the XLA 'block' formulation — identical math to the reference backward."""
-    from vfidkr_tpu.ops.pallas.filter_interp_kernel import filter_gather_pallas
-    valid, base_v, base_u, weights, ipad = _pallas_prep(
-        image, flow, filt, filter_size)
-    out = filter_gather_pallas(ipad, base_v, base_u, weights, fs=filter_size)
-    fallback = image.astype(jnp.float32)
-    return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
-
-
-def _fi_pallas_fwd(image, flow, filt, filter_size):
-    return (_filter_interpolate_pallas(image, flow, filt, filter_size),
-            (image, flow, filt))
-
-
-def _fi_pallas_bwd(filter_size, res, g):
-    image, flow, filt = res
-    block = jax.vmap(functools.partial(_filter_interpolate_2d_block,
-                                       filter_size=filter_size))
-    _, vjp = jax.vjp(block, image, flow, filt)
-    return vjp(g)
-
-
-_filter_interpolate_pallas.defvjp(_fi_pallas_fwd, _fi_pallas_bwd)
 
 
 def _filter_interpolate_2d(image: jax.Array, flow: jax.Array, filt: jax.Array,
@@ -622,10 +492,13 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
       filt:  ``(B, H, W, filter_size**2)`` learned per-pixel kernel, row-major
              window order (``dj * fs + di``).
       filter_size: window size (reference always uses 4).
-      impl: "block" (exact, one blocked lax.gather), "gather" (exact,
-            per-tap gathers — the oracle), or "separable" (fast MXU one-hot
-            formulation — approximate where vertical flow varies within the
-            tap window; see _filter_interpolate_2d_onehot).
+      impl: "slab" (default TPU path: banded one-hot Pallas kernel, exact
+            for any f32 via 3 bf16 truncation limbs, lax.cond fallback),
+            "slab8" (single-limb variant, exact for 8-bit-grid k/255
+            frames — the eval drivers' input contract), "block" (exact,
+            one blocked lax.gather), "gather" (exact, per-tap gathers —
+            the oracle), or "separable" (fast MXU one-hot formulation —
+            approximate where vertical flow varies within the tap window).
 
     Returns:
       ``(B, H, W, C)`` warped frame.  Matches
@@ -633,8 +506,6 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
       f32, including its out-of-range copy-source fallback; gradients match
       the reference backward kernel (see module docstring).
     """
-    if impl == "pallas":
-        return _filter_interpolate_pallas(image, flow, filt, filter_size)
     if impl in ("slab", "slab8"):
         # Pallas only on real TPU (params resolve None off-TPU): interpret
         # mode is reserved for the dedicated parity tests, which call
@@ -652,7 +523,6 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
         "separable": _filter_interpolate_2d_onehot,
         "gather": _filter_interpolate_2d,
         "block": _filter_interpolate_2d_block,
-        "bandmm": _filter_interpolate_2d_bandmm,
     }[impl]
     core = functools.partial(fn, filter_size=filter_size)
     return jax.vmap(core)(image, flow, filt)

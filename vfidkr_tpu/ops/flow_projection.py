@@ -73,18 +73,6 @@ def _four_neighbour_lin(ix_l, ix_r, iy_t, iy_b, w):
     ]
 
 
-def _use_pallas() -> bool:
-    """Opt-in: the round-1 whole-grid Pallas scatter kernel (superseded by
-    the banded kernel, kept for comparison)."""
-    import os
-    if os.environ.get("VFIDKR_PALLAS_SCATTER", "0") != "1":
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except RuntimeError:
-        return False
-
-
 def _band_scatter_params(h, w, c):
     """(band, tw, rh) grid parameters for the banded Pallas scatter, or None
     if the shape doesn't fit its contract or there is no real TPU (interpret
@@ -183,9 +171,6 @@ def _scatter4(iy_t, iy_b, ix_l, ix_r, vals):
     XLA chunked one-hot einsum.  Batch is handled inside the kernel as a grid
     dimension (vmap over pallas_call would vectorise the body and blow VMEM).
     """
-    if _use_pallas():
-        from vfidkr_tpu.ops.pallas.projection_kernel import scatter4_pallas
-        return scatter4_pallas(iy_t, iy_b, ix_l, ix_r, vals)
     params = _band_scatter_params(iy_t.shape[1], iy_t.shape[2],
                                   vals.shape[-1])
     if params is not None:

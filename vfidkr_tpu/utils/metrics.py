@@ -55,10 +55,14 @@ def _gaussian_filter(x, win):
     def depthwise(x, kernel):
         c = x.shape[-1]
         kernel = jnp.tile(kernel, (1, 1, 1, c))
+        # HIGHEST: the sigma estimates are E[x^2] - mu^2 differences — TPU
+        # DEFAULT (bf16-pass) conv precision cancels catastrophically and
+        # sends SSIM outside [-1, 1]
         return jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c)
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST)
 
     return depthwise(depthwise(x, kh), kw)
 
