@@ -78,6 +78,7 @@ def _ref_rectify():
         sys.path.remove(REF)
 
 
+@pytest.mark.slow
 def test_full_dain_checkpoint_roundtrip(rng):
     class FakeDAIN(tnn.Module):
         def __init__(self):
