@@ -52,7 +52,7 @@ def main():
 
     seqs = sorted(d for d in os.listdir(args.root)
                   if os.path.isdir(os.path.join(args.root, d)))
-    ies, psnrs, ssims, times = [], [], [], []
+    ies, psnrs, ssims, times = [], [], [], {}   # times keyed by padded shape
 
     for seq in seqs:
         def load(name):
@@ -81,13 +81,13 @@ def main():
                 params = jax.device_put(ocp.StandardCheckpointer().restore(
                     args.checkpoint, jax.device_get(params)))
 
-        if args.measure_time and not times:
+        if args.measure_time and x0p.shape not in times:
             # Honest device timing, measured once per padded shape: a feedback
             # scan + device_get (utils.profiling.device_time) — wall-clock
             # around block_until_ready under-reports >100x on tunnelled TPU
             # runtimes (see CLAUDE.md timing rule).
             from vfidkr_tpu.utils.profiling import device_time
-            times.append(device_time(lambda a: fwd(params, a, x1p), x0p))
+            times[x0p.shape] = device_time(lambda a: fwd(params, a, x1p), x0p)
         out = unpad(fwd(params, x0p, x1p), pads)
         out = jnp.clip(out, 0.0, 1.0)
 
@@ -108,7 +108,8 @@ def main():
         "avg_ie": float(np.mean(ies)),
         "avg_psnr": float(np.mean(psnrs)),
         "avg_ssim": float(np.mean(ssims)),
-        "device_time_per_pair_s": float(np.mean(times)) if times else None,
+        "device_time_per_pair_s": (float(np.mean(list(times.values())))
+                                   if times else None),
         "sequences": len(seqs),
     }))
 

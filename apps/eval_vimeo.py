@@ -6,7 +6,7 @@ jitted once instead of per-pair host loops.
 Usage:
   python apps/eval_vimeo.py --dataset-path /data/vimeo_triplet \
       [--checkpoint model_weights/best] [--torch-checkpoint best.pth] \
-      [--batch-size 8] [--save-which 1] [--limit N]
+      [--batch-size 1] [--save-which 1] [--limit N]
 """
 
 from __future__ import annotations
@@ -27,7 +27,11 @@ def main():
     ap.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
     ap.add_argument("--torch-checkpoint", default=None,
                     help="reference .pth to convert and evaluate")
-    ap.add_argument("--batch-size", type=int, default=8)
+    # Default matches the measured-fastest batch point: per-frame device
+    # time is best at B=1 (the model runs B=2 internally per direction
+    # pair); larger batches REGRESS per-frame throughput on v5e — see
+    # BASELINE.md "batch scaling".
+    ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--save-which", type=int, default=1,
                     help="0: blended output, 1: rectified (my_args.py default)")
     ap.add_argument("--limit", type=int, default=None,

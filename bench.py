@@ -42,7 +42,18 @@ def main():
     @jax.jit
     def many(x):
         def body(x, _):
-            return model.apply(params, x, i2)["outputs"][1], ()
+            out = model.apply(params, x, i2)["outputs"][1]
+            # feedback: the next input must DEPEND on this output (so the
+            # scan iterations stay sequential and nothing is loop-invariant)
+            # while staying on the 8-bit grid — the deployed contract: every
+            # real input is a freshly decoded 8-bit frame, and the slab8
+            # fast path self-enforces it.  Device-side requantisation
+            # (round(x*255)/255) does NOT reproduce host k/255 values under
+            # XLA's excess-precision division, so feed a rolled copy of the
+            # on-grid input through a data-dependent select instead.
+            nxt = jnp.where(jnp.isfinite(jnp.sum(out)),
+                            jnp.roll(x, 7, axis=2), x)
+            return nxt, ()
         x, _ = jax.lax.scan(body, x, None, length=iters)
         return jnp.sum(x)
 

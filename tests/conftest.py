@@ -17,6 +17,14 @@ import jax
 # env override — force CPU through the config before the backend initialises.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is CPU-compile dominated (full-graph
+# DAIN compiles take minutes); warm-cache reruns skip XLA entirely.
+_cache_dir = os.environ.get(
+    "VFIDKR_TEST_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 import pytest
 

@@ -177,9 +177,9 @@ def _bandmm_pallas_params(h, w, c):
     if c > 8 or h % 8 != 0:
         return None
     band = 16 if h % 16 == 0 else 8
-    # (tw, rh) with u_slab = tw + 2*rh + 3 == 128 keeps the stage-1 dots on
-    # a single MXU K-tile (tw=64/rh=30 measured 40% faster than tw=112 with
-    # its 179-wide, 2-tile contraction)
+    # (tw, rh) with u_slab = tw + 2*rh + 3 == 127 keeps the stage-1 dots on
+    # a single 128-wide MXU K-tile (tw=64/rh=30 measured 40% faster than
+    # tw=112 with its 179-wide, 2-tile contraction)
     if w % 64 == 0:
         return band, 64, 30
     for tw in (112, 128, 96, 160, 80, 56, 32):
@@ -225,16 +225,28 @@ def _filter_interpolate_slab(image, flow, filt, filter_size, band, tw,
     # limbs=1 is the "slab8" contract: inputs on the 8-bit grid (k/255,
     # i.e. decoded frames) — x*255 recovers exact small integers that fit
     # ONE bf16 truncation limb (one-hot products <= 2*255 are even, hence
-    # bf16-exact), a third of the MXU passes.  limbs=3 is exact for any
-    # f32.  (Dynamic selection was tried and fails on this toolchain: an
-    # XLA cond between two pallas calls and in-kernel pl.when predication
-    # both execute the skipped dots; only compile-time structure helps.)
+    # bf16-exact), a third of the MXU passes.  The contract is
+    # SELF-ENFORCING: any off-grid pixel flips the whole-call cond to the
+    # exact block path, same as an oversize flow.  limbs=3 is exact for
+    # any f32 (3 truncation limbs reconstruct the field bit-exactly; no
+    # 255 scaling, so it matches the block branch bit-for-bit).  (Dynamic
+    # limb selection was tried and fails on this toolchain: an XLA cond
+    # between two pallas calls and in-kernel pl.when predication both
+    # execute the skipped dots; only compile-time structure helps.)
+    if limbs == 1:
+        s255 = img32 * 255.0
+        on_grid = jnp.all((s255 == jnp.round(s255))
+                          & (s255 >= 0.0) & (s255 <= 255.0))
+        oversize = oversize | ~on_grid
 
     def fast(args):
         img32, base_v, base_u, kw = args
-        out = filter_bandmm_pallas(img32 * 255.0, base_v, base_u, kw,
-                                   band=band, tw=tw, rh=rh, limbs=limbs)
-        return out * (1.0 / 255.0)
+        if limbs == 1:
+            out = filter_bandmm_pallas(img32 * 255.0, base_v, base_u, kw,
+                                       band=band, tw=tw, rh=rh, limbs=1)
+            return out * (1.0 / 255.0)
+        return filter_bandmm_pallas(img32, base_v, base_u, kw,
+                                    band=band, tw=tw, rh=rh, limbs=limbs)
 
     def exact(args):
         img32, base_v, base_u, kw = args

@@ -139,9 +139,10 @@ def filter_bandmm_pallas(image, base_v, base_u, kw,
       band:   output rows per grid step (s = band + 2*rv + fs - 1 <= 128).
       tw:     output cols per grid step (must divide W).
       rh:     horizontal flow bound; u_slab = tw + 2*rh + fs - 1.
-      limbs:  bf16 truncation limbs of the 255-scaled field computed
-              in-kernel (3 = exact for any f32; 1 = exact ONLY for inputs
-              on the 8-bit grid - the "slab8" contract - at a third of the
+      limbs:  bf16 truncation limbs of the input field computed in-kernel
+              (3 = exact for any f32; 1 = exact ONLY when the field holds
+              small even-product integers — the "slab8" contract, where
+              the caller passes the 255-scaled frame — at a third of the
               MXU passes).
 
     Returns:

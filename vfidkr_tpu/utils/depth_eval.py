@@ -40,7 +40,9 @@ def sdr_counts(log_pred: jax.Array, x_a, y_a, x_b, y_b, gt_ordinal,
       log_pred: (H, W) predicted log-depth (the hourglass output channel).
       x_a, y_a, x_b, y_b: (P,) int32 coordinates of the SfM point pairs.
       gt_ordinal: (P,) in {-1, 0, 1} — ground-truth ordinal label
-        (A further / equal / A closer, reference convention).
+        (-1 = A closer, 0 = equal, +1 = A farther — matching
+        ``batch_classify``, which assigns +1 when z_A/z_B > threshold,
+        i.e. A has the larger depth).
       threshold: ratio threshold (reference fixes 1.1).
 
     Returns:

@@ -21,7 +21,8 @@ class RunningMean:
     def update(self, value: float, n: float = 1) -> None:
         self.last = float(value)
         self.weight += n
-        self.mean += (self.last - self.mean) * (n / self.weight)
+        if self.weight > 0:      # n=0 (empty batch) records `last` only
+            self.mean += (self.last - self.mean) * (n / self.weight)
 
     def reset(self) -> None:
         self.mean = self.weight = self.last = 0.0
