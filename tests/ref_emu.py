@@ -145,6 +145,184 @@ def np_depth_flow_project(flow, depth_inv, fill=False):
 
 
 # ---------------------------------------------------------------------------
+# torch-DIFFERENTIABLE module stubs (full-graph BACKWARD parity)
+# ---------------------------------------------------------------------------
+
+def _make_diff_stub_modules(torch):
+    """Differentiable torch emulations of the three CUDA ops, for end-to-end
+    gradient comparison against the reference training graph
+    (train.py:178-207).
+
+    Gradient fidelity: the reference FilterInterpolation and FlowProjection
+    backward kernels are exactly the autodiff of their forwards (see
+    vfidkr_tpu/ops/filter_interpolation.py module docstring and
+    flow_projection.py), so plain torch autograd through differentiable
+    forwards reproduces them.  DepthFlowProjection's depth gradient carries
+    the reference's ``(f - out)`` quirk (true autodiff would give
+    ``(f + out)``, depthflowprojection_cuda_kernel.cu:312-330), so it is a
+    ``torch.autograd.Function`` with that backward written out.
+    """
+
+    def landing(flow):                      # flow (B, 2, H, W)
+        b, _, h, w = flow.shape
+        fx, fy = flow[:, 0], flow[:, 1]
+        xx = torch.arange(w, dtype=torch.float32)[None, None, :]
+        yy = torch.arange(h, dtype=torch.float32)[None, :, None]
+        x2 = xx + fx
+        y2 = yy + fy
+        valid = ((x2 >= 0) & (y2 >= 0) & (x2 <= w - 1) & (y2 <= h - 1))
+        ix_l = x2.detach().clamp(0, w - 1).long()
+        iy_t = y2.detach().clamp(0, h - 1).long()
+        ix_r = (ix_l + 1).clamp(max=w - 1)
+        iy_b = (iy_t + 1).clamp(max=h - 1)
+        return fx, fy, valid, ix_l, ix_r, iy_t, iy_b
+
+    class FilterInterpolationModule(torch.nn.Module):
+        def forward(self, image, flow, filt, fs=4):
+            b, c, h, w = image.shape
+            half = fs // 2
+            fx, fy = flow[:, 0], flow[:, 1]
+            xx = torch.arange(w, dtype=torch.float32)[None, None, :]
+            yy = torch.arange(h, dtype=torch.float32)[None, :, None]
+            x2 = xx + fx
+            y2 = yy + fy
+            valid = ((x2 >= 0) & (y2 >= 0) & (x2 <= w - 1) & (y2 <= h - 1)
+                     & (fx.abs() < w / 2.0) & (fy.abs() < h / 2.0))
+            x2s = x2.clamp(0, w - 1)
+            y2s = y2.clamp(0, h - 1)
+            ix = x2s.detach().long()        # trunc == floor on [0, w-1]
+            iy = y2s.detach().long()
+            alpha = x2s - ix                # grad d(alpha)/d(fx) == 1
+            beta = y2s - iy
+            img_flat = image.reshape(b, c, h * w)
+            out = torch.zeros_like(image)
+            for dj in range(fs):
+                wy = beta if dj >= half else 1.0 - beta
+                ty = (iy + 1 - half + dj).clamp(0, h - 1)
+                for di in range(fs):
+                    wx = alpha if di >= half else 1.0 - alpha
+                    tx = (ix + 1 - half + di).clamp(0, w - 1)
+                    lin = (ty * w + tx).reshape(b, 1, h * w).expand(b, c, -1)
+                    gathered = img_flat.gather(2, lin).reshape(b, c, h, w)
+                    wgt = filt[:, dj * fs + di] * wx * wy
+                    out = out + gathered * wgt[:, None]
+            # invalid pixels copy the source with NO gradient (:2814-2819;
+            # the reference backward skips them)
+            return torch.where(valid[:, None], out, image.detach())
+
+    class FlowProjectionModule(torch.nn.Module):
+        def __init__(self, requires_grad=True):
+            super().__init__()
+            # the differentiable stub is the training path; fillhole only
+            # runs at inference (FlowProjectionLayer.py:23) and carries no
+            # gradient anyway
+            self.fill = not requires_grad
+
+        def forward(self, flow):
+            b, _, h, w = flow.shape
+            fx, fy, valid, ix_l, ix_r, iy_t, iy_b = landing(flow)
+            v = valid.float()
+            vals = torch.stack([-fx * v, -fy * v], -1).reshape(b, h * w, 2)
+            bidx = torch.arange(b)[:, None].expand(b, h * w)
+            acc = torch.zeros(b, h * w, 2)
+            cnt = torch.zeros(b, h * w)
+            for ty, tx in ((iy_t, ix_l), (iy_t, ix_r),
+                           (iy_b, ix_l), (iy_b, ix_r)):
+                lin = (ty * w + tx).reshape(b, h * w)
+                acc = acc.index_put((bidx, lin), vals, accumulate=True)
+                cnt = cnt.index_put((bidx, lin), v.reshape(b, h * w),
+                                    accumulate=True)
+            out = torch.where(cnt[..., None] > 0,
+                              acc / cnt.clamp(min=1.0)[..., None],
+                              acc.new_zeros(()))
+            out = out.reshape(b, h, w, 2).permute(0, 3, 1, 2)
+            if self.fill:
+                with torch.no_grad():
+                    filled = [np_fill_holes(
+                        cnt.reshape(b, h, w)[i].numpy(),
+                        out[i].detach().permute(1, 2, 0).numpy())
+                        for i in range(b)]
+                out = torch.from_numpy(
+                    np.stack([f.transpose(2, 0, 1) for f in filled]))
+            return out
+
+    class _DFPFunction(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, flow, depth_inv):
+            b, _, h, w = flow.shape
+            fx, fy, valid, ix_l, ix_r, iy_t, iy_b = landing(flow)
+            d = depth_inv[:, 0] * valid.float()
+            vals = torch.stack([-fx * d, -fy * d, d], -1).reshape(b, h * w, 3)
+            bidx = torch.arange(b)[:, None].expand(b, h * w)
+            accum = torch.zeros(b, h * w, 3)
+            for ty, tx in ((iy_t, ix_l), (iy_t, ix_r),
+                           (iy_b, ix_l), (iy_b, ix_r)):
+                lin = (ty * w + tx).reshape(b, h * w)
+                accum = accum.index_put((bidx, lin), vals, accumulate=True)
+            acc, cnt = accum[..., :2], accum[..., 2]
+            out = torch.where(cnt[..., None] > 0,
+                              acc / cnt.clamp(min=1e-30)[..., None],
+                              acc.new_zeros(()))
+            ctx.save_for_backward(flow, depth_inv,
+                                  cnt.reshape(b, h, w),
+                                  out.reshape(b, h, w, 2))
+            return out.reshape(b, h, w, 2).permute(0, 3, 1, 2).contiguous()
+
+        @staticmethod
+        def backward(ctx, g):               # g (B, 2, H, W)
+            flow, depth_inv, cnt, out = ctx.saved_tensors
+            b, _, h, w = flow.shape
+            fx, fy, valid, ix_l, ix_r, iy_t, iy_b = landing(flow)
+            validf = valid.float()
+            d = depth_inv[:, 0]
+            gp = g.permute(0, 2, 3, 1).reshape(b, h * w, 2)
+            cnt_f = cnt.reshape(b, h * w).clamp(min=1e-30)
+            out_f = out.reshape(b, h * w, 2)
+            gfx = torch.zeros(b, h, w)
+            gfy = torch.zeros(b, h, w)
+            gd = torch.zeros(b, h, w)
+            for ty, tx in ((iy_t, ix_l), (iy_t, ix_r),
+                           (iy_b, ix_l), (iy_b, ix_r)):
+                lin = (ty * w + tx).reshape(b, h * w)
+                gn = gp.gather(1, lin[..., None].expand(b, h * w, 2)
+                               ).reshape(b, h, w, 2)
+                cn = cnt_f.gather(1, lin).reshape(b, h, w)
+                on = out_f.gather(1, lin[..., None].expand(b, h * w, 2)
+                                  ).reshape(b, h, w, 2)
+                gfx = gfx - gn[..., 0] * d / cn
+                gfy = gfy - gn[..., 1] * d / cn
+                # the reference's (f - out) depth-grad quirk
+                # (depthflowprojection_cuda_kernel.cu:312-330)
+                gd = gd - (gn[..., 0] / cn) * (fx.detach() - on[..., 0]) \
+                        - (gn[..., 1] / cn) * (fy.detach() - on[..., 1])
+            gflow = torch.stack([gfx * validf, gfy * validf], dim=1)
+            gdepth = (gd * validf)[:, None]
+            return gflow, gdepth
+
+    class DepthFlowProjectionModule(torch.nn.Module):
+        def __init__(self, requires_grad=True):
+            super().__init__()
+            self.fill = not requires_grad
+
+        def forward(self, flow, depth_inv):
+            out = _DFPFunction.apply(flow, depth_inv)
+            if self.fill:
+                b, _, h, w = flow.shape
+                with torch.no_grad():
+                    res = []
+                    for i in range(b):
+                        o, cnt = np_depth_flow_project(
+                            flow[i].detach().permute(1, 2, 0).numpy(),
+                            depth_inv[i, 0].detach().numpy(), fill=True)
+                        res.append(o.transpose(2, 0, 1))
+                out = torch.from_numpy(np.stack(res))
+            return out
+
+    return (FilterInterpolationModule, FlowProjectionModule,
+            DepthFlowProjectionModule)
+
+
+# ---------------------------------------------------------------------------
 # torch module stubs for the my_package CUDA extensions
 # ---------------------------------------------------------------------------
 
@@ -214,12 +392,16 @@ class _TorchCorrelation:
 
 
 @contextlib.contextmanager
-def reference_env():
+def reference_env(differentiable=False):
     """Context that makes ``networks/DAIN*.py`` importable on CPU torch:
-    CUDA extension stubs in sys.modules, torch.cuda shims, np.int alias."""
+    CUDA extension stubs in sys.modules, torch.cuda shims, np.int alias.
+    ``differentiable=True`` swaps in the autograd-capable op emulations
+    (for full-graph backward parity); the default NumPy stubs are faster
+    for forward-only tests."""
     import torch
 
-    fi, fp, dfp = _make_stub_modules(torch)
+    maker = _make_diff_stub_modules if differentiable else _make_stub_modules
+    fi, fp, dfp = maker(torch)
 
     mp = types.ModuleType("my_package")
     mp_fi = types.ModuleType("my_package.FilterInterpolation")

@@ -290,6 +290,184 @@ def e6_overhead_shape():
               f"({total/iters*1e6:.1f} us/iter)")
 
 
+
+# ---------------------------------------------------------------------------
+# E7: in-kernel dynamic_gather characterisation (big-C context-warp design)
+# ---------------------------------------------------------------------------
+
+def _e7_time_pair(make_run, x, r1=16, r2=256):
+    """Per-op cost via two unroll depths (cancels kernel-launch overhead)."""
+    run1, run2 = make_run(r1), make_run(r2)
+    t1 = device_time(run1, x, iters=20)
+    t2 = device_time(run2, x, iters=20)
+    return (t2 - t1) / (r2 - r1)
+
+
+def e7_row_gather():
+    """Mosaic dynamic_gather constraints + throughput.
+
+    Finding (r3): gather along SUBLANES (take_along_axis axis=0) requires the
+    table to fit one vreg along the gather dim (<=8 rows f32) — "Multiple
+    source vregs along gather dimension" otherwise.  Gather along LANES
+    (axis=1, table <=128 lanes, per-sublane independent tables) is the usable
+    primitive; this measures its per-vreg cost with launch overhead cancelled
+    by differencing two unroll depths.
+    """
+    rng = np.random.RandomState(0)
+
+    for rows in (8, 64, 512):
+        x = jnp.asarray(rng.rand(rows, 128), jnp.float32)
+        idx = jnp.asarray(rng.randint(0, 128, size=(rows, 128)), jnp.int32)
+
+        def make_run(reps, rows=rows, idx=idx):
+            def kernel(x_ref, i_ref, o_ref):
+                acc = x_ref[:]
+                for _ in range(reps):
+                    acc = jnp.take_along_axis(acc, i_ref[:], axis=1) + 1.0
+                o_ref[:] = acc
+
+            @jax.jit
+            def run(x):
+                return pl.pallas_call(
+                    kernel,
+                    out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                              pl.BlockSpec(memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                )(x, idx)
+            return run
+
+        try:
+            per = _e7_time_pair(make_run, x)
+            nv = rows // 8
+            print(f"E7a lane-gather ({rows:4d},128) f32: {per*1e9:9.1f} ns/op "
+                  f"({per/nv*1e9:7.2f} ns/vreg, {per/(rows*128)*1e9:6.3f} ns/elt)")
+        except Exception as e:  # noqa: BLE001
+            print(f"E7a ({rows},128) FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}")
+
+    # --- B: sublane gather (axis=0), 8-row table (the one legal case).
+    x = jnp.asarray(rng.rand(8, 128), jnp.float32)
+    idxb = jnp.asarray(rng.randint(0, 8, size=(8, 128)), jnp.int32)
+
+    def make_run_b(reps):
+        def kernel(x_ref, i_ref, o_ref):
+            acc = x_ref[:]
+            for _ in range(reps):
+                acc = jnp.take_along_axis(acc, i_ref[:], axis=0) + 1.0
+            o_ref[:] = acc
+
+        @jax.jit
+        def run(x):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(x, idxb)
+        return run
+
+    try:
+        per = _e7_time_pair(make_run_b, x)
+        print(f"E7b sublane-gather (8,128): {per*1e9:9.1f} ns/op")
+    except Exception as e:  # noqa: BLE001
+        print(f"E7b FAILED: {type(e).__name__}: {str(e).splitlines()[0][:120]}")
+
+    # --- C: the ctx-kernel inner loop — fixed tables (slab rows), fixed idx,
+    # gather + weighted FMA per (row, tap): the real instruction mix.
+    s = 32
+    tab = jnp.asarray(rng.rand(s, 8, 128), jnp.float32)
+    idxc = jnp.asarray(rng.randint(0, 128, size=(8, 128)), jnp.int32)
+    w = jnp.asarray(rng.rand(s, 8, 128), jnp.float32)
+
+    def make_run_c(reps):
+        nloop = max(1, reps // (s * 4))
+
+        def kernel(tab_ref, i_ref, w_ref, o_ref):
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for _ in range(nloop):
+                for r in range(s):
+                    t = tab_ref[r]
+                    ww = w_ref[r]
+                    for _ in range(4):
+                        g = jnp.take_along_axis(t, i_ref[:], axis=1)
+                        acc = acc + ww * g
+            o_ref[:] = tab_ref[:] + acc[None]
+
+        @jax.jit
+        def run(tab):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((s, 8, 128), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(tab, idxc, w)
+        return run
+
+    try:
+        # reps here counts gather+FMA pairs (s*4 per sweep)
+        per = _e7_time_pair(make_run_c, tab, r1=s * 4, r2=s * 4 * 8)
+        print(f"E7c gather+FMA pair (reused table): {per*1e9:9.1f} ns/pair")
+    except Exception as e:  # noqa: BLE001
+        print(f"E7c FAILED: {type(e).__name__}: {str(e).splitlines()[0][:120]}")
+
+
+
+def e7d_parallel():
+    """E7d: the real ctx-kernel inner mix — distinct idx per tap (no CSE),
+    4 independent accumulators (hide FMA latency), distinct tables per slab
+    row.  Outer fori_loop scales the kernel into the ms range so the
+    tunnel's ms-scale timing noise cancels in the slope."""
+    rng = np.random.RandomState(1)
+    s = 32
+    tab = jnp.asarray(rng.rand(s, 8, 128), jnp.float32)
+    idx4 = jnp.asarray(rng.randint(0, 125, size=(4, 8, 128)), jnp.int32)
+    w = jnp.asarray(rng.rand(s, 4, 8, 128), jnp.float32)
+
+    def make_run(nloop):
+        def kernel(tab_ref, i_ref, w_ref, o_ref):
+            def body(n, accs):
+                a0, a1, a2, a3 = accs
+                bump = n.astype(jnp.float32)
+                for r in range(s):
+                    t = tab_ref[r] + bump       # defeat cross-iter CSE
+                    g0 = jnp.take_along_axis(t, i_ref[0], axis=1)
+                    g1 = jnp.take_along_axis(t, i_ref[1], axis=1)
+                    g2 = jnp.take_along_axis(t, i_ref[2], axis=1)
+                    g3 = jnp.take_along_axis(t, i_ref[3], axis=1)
+                    a0 = a0 + w_ref[r, 0] * g0
+                    a1 = a1 + w_ref[r, 1] * g1
+                    a2 = a2 + w_ref[r, 2] * g2
+                    a3 = a3 + w_ref[r, 3] * g3
+                return (a0, a1, a2, a3)
+
+            z = jnp.zeros((8, 128), jnp.float32)
+            a0, a1, a2, a3 = jax.lax.fori_loop(0, nloop, body, (z, z, z, z))
+            o_ref[:] = tab_ref[:] + ((a0 + a1) + (a2 + a3))[None]
+
+        @jax.jit
+        def run(tab):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((s, 8, 128), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(tab, idx4, w)
+        return run
+
+    n1, n2 = 200, 1600
+    t1 = device_time(make_run(n1), tab, iters=10)
+    t2 = device_time(make_run(n2), tab, iters=10)
+    per = (t2 - t1) / ((n2 - n1) * s * 4)
+    print(f"E7d gather+FMA pair (4 accs, distinct idx): {per*1e9:9.2f} ns/pair"
+          f"  ({per*0.94e9:6.1f} cyc @940MHz)  [t1={t1*1e3:.2f}ms t2={t2*1e3:.2f}ms]")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("devices:", jax.devices())
@@ -303,5 +481,10 @@ if __name__ == "__main__":
         e4_bandmm(reps=int(sys.argv[2]) if len(sys.argv) > 2 else 8)
     if which in ("e5", "all"):
         e5_overhead()
+    if which in ("e7",):
+        e7_row_gather()
+        e7d_parallel()
+    if which == "e7d":
+        e7d_parallel()
     if which == "e6":
         e6_overhead_shape()

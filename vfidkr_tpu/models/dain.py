@@ -140,8 +140,9 @@ class DAINSlowMotion(nn.Module):
     timestep: float = 0.5
     train_bn: bool = False
     filter_impl: str = "slab"    # frames use the banded Pallas kernel; the
-                                 # 197-ch context warps stay "block" (wide
-                                 # channels exceed the per-tile slab budget)
+                                 # 196-ch context warps dispatch to the
+                                 # big-C lane-gather kernel (exact any-f32,
+                                 # ops/pallas/ctx_gather_kernel.py)
 
     def setup(self):
         fs2 = self.filter_size ** 2
@@ -178,27 +179,37 @@ class DAINSlowMotion(nn.Module):
         raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
         hole_fill = not train
 
+        ctx_pair = jnp.concatenate([ctx0, ctx2], axis=0)
+        filt_pair = jnp.concatenate([filt0, filt1], axis=0)
+        frame_pair = jnp.concatenate([i0, i2], axis=0)
+        depth_inv_pair = jnp.concatenate([depth_inv0, depth_inv2], axis=0)
+
         outputs, rectified_outputs, offsets = [], [], []
         for k, t in enumerate(time_offsets):
             f01 = upsample_bilinear(raw_fwd * (self.div_flow * t), 4)
             t_rev = time_offsets[::-1][k]
             f10 = upsample_bilinear(raw_bwd * (self.div_flow * t_rev), 4)
 
-            off0 = depth_flow_project(f01, depth_inv0, hole_fill=hole_fill)
-            off1 = depth_flow_project(f10, depth_inv2, hole_fill=hole_fill)
+            # direction-paired projection + warps: batching the two
+            # directions into single op calls amortises fixed kernel costs
+            # (same trick as DAIN.__call__)
+            offs = depth_flow_project(jnp.concatenate([f01, f10], axis=0),
+                                      depth_inv_pair, hole_fill=hole_fill)
+            off0, off1 = offs[:b], offs[b:]
 
-            # context warp with detached flow/kernels (:311-321)
-            ctx0_w = filter_interpolate(
-                ctx0, jax.lax.stop_gradient(off0),
-                jax.lax.stop_gradient(filt0), self.filter_size, impl="block")
-            ctx2_w = filter_interpolate(
-                ctx2, jax.lax.stop_gradient(off1),
-                jax.lax.stop_gradient(filt1), self.filter_size, impl="block")
+            # context warp with detached flow/kernels (:311-321); the big-C
+            # dispatch in filter_interpolate routes the 196-ch tensors to
+            # the lane-gather Pallas kernel on TPU
+            ctx_w = filter_interpolate(
+                ctx_pair, jax.lax.stop_gradient(offs),
+                jax.lax.stop_gradient(filt_pair), self.filter_size,
+                impl=self.filter_impl)
+            ctx0_w, ctx2_w = ctx_w[:b], ctx_w[b:]
 
-            ref0 = filter_interpolate(i0, off0, filt0, self.filter_size,
+            refs = filter_interpolate(frame_pair, offs, filt_pair,
+                                      self.filter_size,
                                       impl=self.filter_impl)
-            ref2 = filter_interpolate(i2, off1, filt1, self.filter_size,
-                                      impl=self.filter_impl)
+            ref0, ref2 = refs[:b], refs[b:]
             out = ref0 * (1.0 - t) + ref2 * t    # time-weighted fusion (:335)
 
             rectify_input = jnp.concatenate(

@@ -285,6 +285,85 @@ def _block_from_geometry(img32, base_v, base_u, kw, fs):
     return jax.vmap(one)(ipad, base_v, base_u, kw)
 
 
+def _ctx_pallas_params(h, w, c):
+    """Pick (band, tw, rv, rh, c_chunk) for the big-C lane-gather kernel, or
+    None when the shape is outside its contract or there is no real TPU.
+    Used for wide-channel warps (DAIN_slowmotion's 196-ch context) where the
+    banded one-hot kernel's MXU cost would scale with C."""
+    if jax.default_backend() != "tpu":
+        return None
+    if c <= 8:
+        return None
+    band = 64 if h % 64 == 0 else (32 if h % 32 == 0 else None)
+    if band is None or w % 64 != 0:
+        return None
+    # rv=26 covers the measured flow envelope (projected slow-motion flows
+    # reach ~25 px vertically at t=0.75); larger vertical bounds only cost
+    # DMA overlap, not compute (the row loop is bounds-adaptive per chunk)
+    return band, 64, 26, 30, 40
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _filter_interpolate_ctx(image, flow, filt, filter_size, band, tw, rv,
+                            rh, c_chunk):
+    """Big-C TPU path: in-VMEM lane-gather Pallas kernel (see
+    ops/pallas/ctx_gather_kernel.py) with a whole-call ``lax.cond`` fallback
+    to the exact XLA block path when any flow exceeds the slab bounds.
+    Forward matches the block path to f32 rounding (~1 ulp, different
+    accumulation order); backward reuses the block formulation."""
+    from vfidkr_tpu.ops.pallas.ctx_gather_kernel import _U, ctx_gather_pallas
+    fs = filter_size
+    pad_lo = fs // 2 - 1
+    s = band + 2 * rv + fs - 1
+
+    def per_image(image, flow, filt):
+        valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, fs)
+        kw = _combined_weights(filt, alpha, beta, fs)
+        return valid, iy_t + pad_lo, ix_l + pad_lo, kw
+
+    valid, base_v, base_u, kw = jax.vmap(per_image)(image, flow, filt)
+
+    b, h, w, c = image.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    bs = base_v + rv - (yy // band) * band
+    bu = base_u + rh - (xx // tw) * tw
+    in_slab = ((bs >= 0) & (bs <= s - fs) & (bu >= 0) & (bu <= _U - fs))
+    oversize = jnp.any(valid & ~in_slab)
+
+    img32 = image.astype(jnp.float32)
+
+    def fast(args):
+        img32, base_v, base_u, kw = args
+        return ctx_gather_pallas(img32, base_v, base_u, kw, band=band,
+                                 tw=tw, rv=rv, rh=rh, c_chunk=c_chunk)
+
+    def exact(args):
+        img32, base_v, base_u, kw = args
+        return _block_from_geometry(img32, base_v, base_u, kw, fs)
+
+    out = jax.lax.cond(oversize, exact, fast, (img32, base_v, base_u, kw))
+    fallback = jax.lax.stop_gradient(img32)
+    return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
+
+
+def _fi_ctx_fwd(image, flow, filt, filter_size, band, tw, rv, rh, c_chunk):
+    return (_filter_interpolate_ctx(image, flow, filt, filter_size, band,
+                                    tw, rv, rh, c_chunk),
+            (image, flow, filt))
+
+
+def _fi_ctx_bwd(filter_size, band, tw, rv, rh, c_chunk, res, g):
+    image, flow, filt = res
+    block = jax.vmap(functools.partial(_filter_interpolate_2d_block,
+                                       filter_size=filter_size))
+    _, vjp = jax.vjp(block, image, flow, filt)
+    return vjp(g)
+
+
+_filter_interpolate_ctx.defvjp(_fi_ctx_fwd, _fi_ctx_bwd)
+
+
 def _fi_slab_fwd(image, flow, filt, filter_size, band, tw, rh=32, limbs=3):
     return (_filter_interpolate_slab(image, flow, filt, filter_size, band,
                                      tw, rh, limbs),
@@ -521,10 +600,18 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
     if impl in ("slab", "slab8"):
         # Pallas only on real TPU (params resolve None off-TPU): interpret
         # mode is reserved for the dedicated parity tests, which call
-        # _filter_interpolate_slab directly.  "slab8" = single-limb fast
-        # path, exact ONLY for inputs on the 8-bit grid (k/255 decoded
-        # frames) — the eval drivers' input contract.
+        # _filter_interpolate_slab / _filter_interpolate_ctx directly.
+        # "slab8" = single-limb fast path, exact ONLY for inputs on the
+        # 8-bit grid (k/255 decoded frames) — the eval drivers' input
+        # contract.  Wide-channel warps (c > 8, e.g. the 196-ch slow-motion
+        # context) dispatch to the lane-gather kernel, whose cost per
+        # channel octet is constant.
         params = _bandmm_pallas_params(*image.shape[1:])
+        if params is None and image.shape[-1] > 8:
+            cparams = _ctx_pallas_params(*image.shape[1:])
+            if cparams is not None:
+                return _filter_interpolate_ctx(image, flow, filt,
+                                               filter_size, *cparams)
         if params is None:      # shape outside the kernel contract / no TPU
             impl = "block"
         else:
