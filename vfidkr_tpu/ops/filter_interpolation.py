@@ -41,7 +41,14 @@ import jax.numpy as jnp
 
 
 def _window_geometry(image, flow, filter_size):
-    """Shared landing/window math. Returns (valid, iy_t, ix_l, alpha, beta)."""
+    """Shared landing/window math. Returns (valid, iy_t, ix_l, alpha, beta).
+
+    Inside a ``parallel.spatial.spatial_frame`` (row-sharded inference on a
+    halo-extended block) the validity bounds are evaluated in GLOBAL frame
+    coordinates, so the out-of-range copy-source fallback triggers exactly
+    where the reference's frame bounds would (kernel :2736-2737) — the tap
+    clamp needs no change because the halo exchange edge-replicates at the
+    global frame edge, which equals the reference's clamped reads."""
     h, w, _ = image.shape
     fs = filter_size
     half = fs // 2
@@ -53,12 +60,22 @@ def _window_geometry(image, flow, filter_size):
     x2 = xx + fx
     y2 = yy + fy
 
-    valid = ((x2 >= 0.0) & (y2 >= 0.0)
-             & (x2 <= float(w - 1)) & (y2 <= float(h - 1))
-             & (jnp.abs(fx) < float(w) / 2.0) & (jnp.abs(fy) < float(h) / 2.0))
+    from vfidkr_tpu.parallel.spatial import global_row_frame
+    frame = global_row_frame(h)
+    if frame is None:
+        y_lo, y_hi, hg = 0.0, float(h - 1), h
+    else:
+        row0, hg, _, _ = frame
+        y_lo = (-row0).astype(jnp.float32)
+        y_hi = (hg - 1 - row0).astype(jnp.float32)
+
+    valid = ((x2 >= 0.0) & (y2 >= y_lo)
+             & (x2 <= float(w - 1)) & (y2 <= y_hi)
+             & (jnp.abs(fx) < float(w) / 2.0)
+             & (jnp.abs(fy) < hg / 2.0))
 
     x2s = jnp.clip(x2, 0.0, float(w - 1))
-    y2s = jnp.clip(y2, 0.0, float(h - 1))
+    y2s = jnp.clip(jnp.clip(y2, y_lo, y_hi), 0.0, float(h - 1))
     ix = jnp.floor(x2s).astype(jnp.int32)
     iy = jnp.floor(y2s).astype(jnp.int32)
     alpha = x2s - ix.astype(jnp.float32)   # frac(x2); d(alpha)/d(fx) == 1

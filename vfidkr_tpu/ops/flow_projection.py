@@ -47,7 +47,14 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 def _landing(flow):
-    """Landing coords + validity for a (H,W,2) flow. Returns f32/ int32 maps."""
+    """Landing coords + validity for a (H,W,2) flow. Returns f32/ int32 maps.
+
+    Inside a ``parallel.spatial.spatial_frame`` (row-sharded inference on a
+    halo-extended local block) the validity bounds and the row clamp are
+    evaluated in GLOBAL frame coordinates, and phantom rows outside the
+    global frame (the first/last shard's edge-replicated halo) are masked as
+    scatter sources — making the projection frame-exact under sharding, not
+    just in the interior."""
     h, w = flow.shape[:2]
     fx = flow[..., 0].astype(jnp.float32)
     fy = flow[..., 1].astype(jnp.float32)
@@ -55,11 +62,30 @@ def _landing(flow):
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     x2 = xx + fx
     y2 = yy + fy
-    valid = (x2 >= 0.0) & (y2 >= 0.0) & (x2 <= float(w - 1)) & (y2 <= float(h - 1))
+
+    from vfidkr_tpu.parallel.spatial import global_row_frame
+    frame = global_row_frame(h)
+    if frame is None:
+        y_lo, y_hi = 0.0, float(h - 1)
+        src_ok = True
+    else:
+        row0, hg, _, _ = frame
+        # global frame bounds, expressed in local row coordinates
+        y_lo = (-row0).astype(jnp.float32)
+        y_hi = (hg - 1 - row0).astype(jnp.float32)
+        yg = yy + row0.astype(jnp.float32)
+        src_ok = (yg >= 0.0) & (yg <= float(hg - 1))
+
+    valid = ((x2 >= 0.0) & (y2 >= y_lo)
+             & (x2 <= float(w - 1)) & (y2 <= y_hi) & src_ok)
     ix_l = jnp.clip(jnp.floor(x2), 0.0, float(w - 1)).astype(jnp.int32)
-    iy_t = jnp.clip(jnp.floor(y2), 0.0, float(h - 1)).astype(jnp.int32)
+    # global clamp first (frame semantics), then a local safety clip (binds
+    # only for flows beyond the halo contract)
+    iy_t = jnp.clip(jnp.clip(jnp.floor(y2), y_lo, y_hi),
+                    0.0, float(h - 1)).astype(jnp.int32)
     ix_r = jnp.minimum(ix_l + 1, w - 1)
-    iy_b = jnp.minimum(iy_t + 1, h - 1)
+    iy_b = jnp.minimum(jnp.minimum(
+        iy_t + 1, jnp.asarray(y_hi, jnp.float32).astype(jnp.int32)), h - 1)
     return fx, fy, valid, ix_l, ix_r, iy_t, iy_b
 
 
@@ -256,8 +282,47 @@ def fill_holes(count: jax.Array, out: jax.Array) -> jax.Array:
     """
     filled = (count > 0.0)[..., None]
 
-    (left_v, left_e), (right_v, right_e) = _last_valid_scan2(out, filled, 1)
-    (up_v, up_e), (down_v, down_e) = _last_valid_scan2(out, filled, 0)
+    from vfidkr_tpu.parallel.spatial import current_spatial_frame
+    ctx = current_spatial_frame()
+    if ctx is None:
+        (left_v, left_e), (right_v, right_e) = _last_valid_scan2(out, filled, 1)
+        (up_v, up_e), (down_v, down_e) = _last_valid_scan2(out, filled, 0)
+    else:
+        # Row-sharded EXACT fill (the reference's search is frame-global,
+        # flowprojection_cuda_kernel.cu:141-234).  Halo-band cells hold
+        # partial scatter sums (sources beyond the block are missing), so
+        # the vertical scans run over INTERIOR cells only and the
+        # cross-shard state is carried by all-gathered per-shard interior
+        # summaries combined in shard order over ICI.  Horizontal scans see
+        # full rows and need no fix.  Halo-band OUTPUT rows are not exact
+        # (they are cropped by the shard wrapper).
+        axis, halo = ctx
+        h_ext = count.shape[0]
+        n = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        rr = jax.lax.broadcasted_iota(jnp.int32, filled.shape, 0)
+        interior = (rr >= halo) & (rr < h_ext - halo)
+        filled_i = filled & interior
+
+        (left_v, left_e), (right_v, right_e) = _last_valid_scan2(
+            out, filled, 1)
+        (up_v, up_e), (down_v, down_e) = _last_valid_scan2(out, filled_i, 0)
+
+        def carried(v, e, summary_row, use_mask_fn, order):
+            sv = jax.lax.all_gather(v[summary_row], axis)      # (n, W, C)
+            se = jax.lax.all_gather(e[summary_row], axis)      # (n, W, 1)
+            cv = jnp.zeros_like(v[0])
+            ce = jnp.zeros_like(e[0])
+            for j in order:
+                use = use_mask_fn(j) & se[j]
+                cv = jnp.where(use, sv[j], cv)
+                ce = ce | use
+            return jnp.where(e, v, cv), e | ce
+
+        up_v, up_e = carried(up_v, up_e, h_ext - halo - 1,
+                             lambda j: j < idx, range(n))
+        down_v, down_e = carried(down_v, down_e, halo,
+                                 lambda j: j > idx, range(n - 1, -1, -1))
 
     exists = [e.astype(out.dtype) for e in (left_e, right_e, up_e, down_e)]
     vals = [left_v, right_v, up_v, down_v]
@@ -286,8 +351,12 @@ def fill_holes_batched(count: jax.Array, out: jax.Array) -> jax.Array:
     associative scans at 448x256), else the XLA scans."""
     from vfidkr_tpu.ops.pallas.fillhole_kernel import (
         fill_holes_fits, fill_holes_pallas)
+    from vfidkr_tpu.parallel.spatial import current_spatial_frame
     b, h, w = count.shape
-    if jax.default_backend() == "tpu" and fill_holes_fits(h, w):
+    if (jax.default_backend() == "tpu" and fill_holes_fits(h, w)
+            and current_spatial_frame() is None):
+        # the in-VMEM kernel is block-local; row-sharded fills need the
+        # cross-shard scan path in fill_holes
         return fill_holes_pallas(count, out)
     return jax.vmap(fill_holes)(count, out)
 

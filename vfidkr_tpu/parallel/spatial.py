@@ -9,25 +9,66 @@ rows are exchanged with mesh neighbours over ICI via ``ppermute``, the
 
 Exactness contract (measured in tests/test_parallel_dain.py): operators
 whose receptive field fits in ``halo`` rows (the scatter/warp op chain with
-|flow| + window support <= halo) are EXACT everywhere except within
-flow-support of the GLOBAL top/bottom frame edge, where a local block cannot
-reproduce the reference's frame-boundary semantics (edge-replicated halo
-rows act as phantom scatter sources, and the frame clamp is local).  The
-hole fill's nearest-filled search is global and therefore approximate under
-tiling.  For the full DAIN pipeline (downsampling pyramids + flows up to
-W/2) this is the standard tiled-inference approximation — pick ``halo`` >=
-the largest expected motion + network context (the eval default of 64
-covers Vimeo-scale motion).
+|flow| + window support <= halo) are EXACT on every row, including the
+global frame edges and with hole filling on: inside the wrapper's
+``spatial_frame`` context the ops evaluate validity bounds in GLOBAL frame
+coordinates, mask phantom (edge-replicated) scatter sources, and the hole
+fill's frame-global nearest-filled search runs as local interior scans plus
+all-gathered cross-shard carries over the mesh axis (round 3; previously
+rows within flow-support of the global top/bottom edge were corrupted and
+the fill was a tiled approximation).  For the full DAIN pipeline
+(downsampling pyramids + flows up to W/2) tiling remains the standard
+approximation — pick ``halo`` >= the largest expected motion + network
+context (the eval default of 64 covers Vimeo-scale motion).
 """
 
 from __future__ import annotations
 
+import contextlib
 import functools
-from typing import Callable
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# ---------------------------------------------------------------------------
+# Spatial frame context: lets ops evaluate frame-global semantics (validity
+# bounds, scatter-source masking, cross-shard hole-fill scans) while running
+# on a halo-extended local block inside shard_map.  Trace-time stack, same
+# pattern as models.layers.conv_compute_dtype.
+# ---------------------------------------------------------------------------
+
+_SPATIAL_FRAME: list = []
+
+
+@contextlib.contextmanager
+def spatial_frame(axis_name: str, halo: int):
+    _SPATIAL_FRAME.append((axis_name, halo))
+    try:
+        yield
+    finally:
+        _SPATIAL_FRAME.pop()
+
+
+def current_spatial_frame() -> Optional[Tuple[str, int]]:
+    return _SPATIAL_FRAME[-1] if _SPATIAL_FRAME else None
+
+
+def global_row_frame(h_ext: int):
+    """Inside a spatial_frame: (row0, h_global, axis, halo) where ``row0`` is
+    the global row index of local (halo-extended) row 0 — negative on the
+    first shard, whose top halo rows are phantom (edge-replicated) rows above
+    the real frame.  None outside a spatial_frame."""
+    ctx = current_spatial_frame()
+    if ctx is None:
+        return None
+    axis, halo = ctx
+    idx = jax.lax.axis_index(axis)
+    n = jax.lax.axis_size(axis)
+    hs = h_ext - 2 * halo
+    row0 = idx * hs - halo
+    return row0, n * hs, axis, halo
 
 
 def halo_exchange_rows(x: jax.Array, halo: int, axis_name: str,
@@ -81,7 +122,8 @@ def spatial_shard_fn(fn: Callable, mesh: Mesh, halo: int,
     def local_fn(*arrays):
         padded = [halo_exchange_rows(a, halo, axis_name, edge_mode)
                   for a in arrays]
-        out = fn(*padded)
+        with spatial_frame(axis_name, halo):
+            out = fn(*padded)
         return jax.tree_util.tree_map(
             lambda o: o[:, halo:o.shape[1] - halo], out)
 
