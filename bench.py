@@ -74,5 +74,42 @@ def main():
     }))
 
 
+def slowmotion_line():
+    """Optional second line (``python bench.py --slowmotion``): the
+    DAIN_slowmotion 4x streamed-clip config (BASELINE.json config list;
+    colab_interpolate.py is the reference protocol).  Measured via the same
+    feedback-scan device timing; see tools/bench_matrix.py for the full
+    config matrix."""
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.models import DAINSlowMotion
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    h, w = 256, 448
+    q = lambda x: np.round(x * 255.0).astype(np.float32) / 255.0
+    i0 = jnp.asarray(q(rng.rand(1, h, w, 3)), jnp.float32)
+    i2 = jnp.asarray(q(rng.rand(1, h, w, 3)), jnp.float32)
+    model = DAINSlowMotion(timestep=0.25)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), i0, i2)
+    jax.block_until_ready(params)
+
+    def step(x):
+        outs = model.apply(params, x, i2)["outputs"][1]
+        s = sum(jnp.sum(o) for o in outs)
+        return jnp.where(jnp.isfinite(s), jnp.roll(x, 7, axis=2), x)
+
+    dt = device_time_slope(jax.jit(step), i0, n1=5, n2=20)
+    print(json.dumps({
+        "metric": "dain_slowmotion_4x_interp_frames_per_sec_448x256",
+        "value": round(3.0 / dt, 2),
+        "unit": "frames/s",
+        "vs_baseline": round((3.0 / dt) / 100.0, 3),
+    }))
+
+
 if __name__ == "__main__":
+    import sys
     main()
+    if "--slowmotion" in sys.argv:
+        slowmotion_line()

@@ -172,6 +172,29 @@ def bench_train():
             "steps_per_sec": round(1.0 / t, 2)}
 
 
+def bench_vimeo_sweep():
+    """End-to-end Vimeo test-split sweep (apps/eval_vimeo.py, the
+    demo_test_ourdata.py protocol): fps INCLUDING host IO and metric
+    computation.  Uses the synthetic-motion dataset (no real Vimeo-90K
+    ships in this environment)."""
+    import os
+    import subprocess
+
+    root = "/tmp/vimeo_syn_bench"
+    if not os.path.isdir(root):
+        subprocess.run([sys.executable, "tools/make_synthetic_vimeo.py",
+                        "--out", root, "--n", "64"], check=True)
+    out = subprocess.run(
+        [sys.executable, "apps/eval_vimeo.py", "--dataset-path", root,
+         "--batch-size", "1"],
+        check=True, capture_output=True, text=True).stdout
+    res = json.loads(out.strip().splitlines()[-1])
+    return {"metric": "vimeo_sweep_pairs_per_sec_e2e",
+            "value": round(res["pairs_per_sec"], 3),
+            "unit": "pairs/s (incl. host IO + PSNR/SSIM)",
+            "avg_psnr": round(res["avg_psnr"], 3)}
+
+
 CONFIGS = {
     "depth": bench_depth,
     "pwc": bench_pwc,
@@ -180,6 +203,7 @@ CONFIGS = {
     "slowmotion4x": lambda: bench_slowmotion(0.25),
     "slowmotion8x": lambda: bench_slowmotion(0.125),
     "train": bench_train,
+    "vimeo": bench_vimeo_sweep,
 }
 
 

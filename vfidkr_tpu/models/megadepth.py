@@ -25,6 +25,7 @@ import json
 import pathlib
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vfidkr_tpu.models.layers import (
@@ -37,16 +38,139 @@ from vfidkr_tpu.models.layers import (
 _SPEC = json.loads(
     (pathlib.Path(__file__).parent / "megadepth_spec.json").read_text())
 
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+class _ConvP(nn.Module):
+    """Parameter-compatible stand-in for ``nn.Conv``: declares the identical
+    ``{kernel, bias}`` params (same name path, shapes, and initializers, so
+    checkpoints/converters/random inits are unchanged) but returns them for
+    fused evaluation instead of running the conv."""
+    features: int
+    in_features: int
+    kh: int
+    kw: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.kh, self.kw, self.in_features,
+                             self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
+def _match_inception(node):
+    """Match the hourglass's inception cell: a Concat whose branches are
+    ``[1x1 conv, bn, relu]`` optionally followed by ``[kxk conv (pad k//2),
+    bn, relu]``, with the two-stage branches contiguous and uniform.
+    Returns the per-branch (conv1, bn1, conv2|None, bn2|None) specs, or
+    None when the shape doesn't match (evaluated generically then)."""
+    branches = []
+    for child in node["children"]:
+        if child["type"] != "seq":
+            return None
+        ch = child["children"]
+        kinds = [g["type"] for g in ch]
+        if kinds == ["conv", "bn", "relu"]:
+            c1, b1 = ch[0], ch[1]
+            c2 = b2 = None
+        elif kinds == ["conv", "bn", "relu", "conv", "bn", "relu"]:
+            c1, b1, c2, b2 = ch[0], ch[1], ch[3], ch[4]
+            k = c2["k"]
+            if (k[0] != k[1] or tuple(c2["s"]) != (1, 1)
+                    or tuple(c2["p"]) != (k[0] // 2, k[1] // 2)):
+                return None
+        else:
+            return None
+        if tuple(c1["k"]) != (1, 1) or tuple(c1["s"]) != (1, 1) \
+                or tuple(c1["p"]) != (0, 0):
+            return None
+        branches.append((c1, b1, c2, b2))
+    s2 = [i for i, b in enumerate(branches) if b[2] is not None]
+    if s2:
+        if s2 != list(range(s2[0], s2[0] + len(s2))):
+            return None
+        if (len({branches[i][0]["out"] for i in s2}) != 1
+                or len({branches[i][2]["out"] for i in s2}) != 1):
+            return None
+    return branches
+
 
 class MegaDepthHourglass(nn.Module):
     """Input (B,H,W,3) RGB in [0,1] (H,W divisible by 128 in practice);
-    output (B,H,W,1) log-depth."""
+    output (B,H,W,1) log-depth.
+
+    TPU evaluation fuses each inception cell's parallel branches (exactly —
+    parameters and math are unchanged): the branch 1x1 convs run as ONE conv
+    on the shared input (MAC-neutral), and at spatial sizes below
+    ``fuse_stage2_max_hw`` the 3x3/5x5/7x7(/11x11) second convs run as ONE
+    grouped conv with kernels zero-padded to the largest size (extra MACs
+    multiply zeros; a win only where op-launch overhead dominates the tiny
+    coarse levels).  The reference evaluates the same cells as ~8 separate
+    module calls (pytorch_DIW_scratch.py Lambda/Concat containers)."""
     train_bn: bool = False   # True: use batch statistics + update running stats
+    fuse_stage2_max_hw: int = 8192
 
     @nn.compact
     def __call__(self, x):
         out = self._run(_SPEC, x, "n")
         return out
+
+    def _bn(self, node, path):
+        return nn.BatchNorm(use_running_average=not self.train_bn,
+                            momentum=0.9, epsilon=1e-5,
+                            use_scale=node["affine"],
+                            use_bias=node["affine"], name=path)
+
+    def _run_inception(self, branches, x, path):
+        cin = x.shape[-1]
+        kb = [(_ConvP(c1["out"], cin, 1, 1, name=f"{path}_{i}_0")())
+              for i, (c1, _, _, _) in enumerate(branches)]
+        y = jax.lax.conv_general_dilated(
+            x, jnp.concatenate([k for k, _ in kb], axis=-1), (1, 1), "VALID",
+            dimension_numbers=_DN) + jnp.concatenate([b for _, b in kb])
+
+        outs, off = [], 0
+        for i, (c1, b1, _, _) in enumerate(branches):
+            sl = y[..., off:off + c1["out"]]
+            off += c1["out"]
+            outs.append(nn.relu(self._bn(b1, f"{path}_{i}_1")(sl)))
+
+        s2 = [i for i, b in enumerate(branches) if b[2] is not None]
+        h, w = x.shape[1], x.shape[2]
+        if s2 and h * w <= self.fuse_stage2_max_hw:
+            kmax = max(branches[i][2]["k"][0] for i in s2)
+            k2s, b2s = [], []
+            for i in s2:
+                c2 = branches[i][2]
+                k, b = _ConvP(c2["out"], branches[i][0]["out"],
+                              c2["k"][0], c2["k"][1],
+                              name=f"{path}_{i}_3")()
+                pad = (kmax - c2["k"][0]) // 2
+                k2s.append(jnp.pad(k, ((pad, pad), (pad, pad),
+                                       (0, 0), (0, 0))))
+                b2s.append(b)
+            xin = jnp.concatenate([outs[i] for i in s2], axis=-1)
+            y2 = jax.lax.conv_general_dilated(
+                xin, jnp.concatenate(k2s, axis=-1), (1, 1),
+                [(kmax // 2, kmax // 2)] * 2, dimension_numbers=_DN,
+                feature_group_count=len(s2)) + jnp.concatenate(b2s)
+            co = branches[s2[0]][2]["out"]
+            for j, i in enumerate(s2):
+                sl = y2[..., j * co:(j + 1) * co]
+                outs[i] = nn.relu(self._bn(branches[i][3],
+                                           f"{path}_{i}_4")(sl))
+        elif s2:
+            for i in s2:
+                c2, b2 = branches[i][2], branches[i][3]
+                kh, kw_ = c2["k"]
+                sl = nn.Conv(c2["out"], (kh, kw_), strides=(1, 1),
+                             padding=((kh // 2, kh // 2), (kw_ // 2, kw_ // 2)),
+                             use_bias=True, name=f"{path}_{i}_3")(outs[i])
+                outs[i] = nn.relu(self._bn(b2, f"{path}_{i}_4")(sl))
+        return jnp.concatenate(outs, axis=-1)
 
     def _run(self, node, x, path):
         t = node["type"]
@@ -62,10 +186,7 @@ class MegaDepthHourglass(nn.Module):
                            padding=((ph, ph), (pw, pw)), use_bias=True,
                            name=path)(x)
         if t == "bn":
-            return nn.BatchNorm(use_running_average=not self.train_bn,
-                                momentum=0.9, epsilon=1e-5,
-                                use_scale=node["affine"],
-                                use_bias=node["affine"], name=path)(x)
+            return self._bn(node, path)(x)
         if t == "relu":
             return nn.relu(x)
         if t == "maxpool":
@@ -79,6 +200,9 @@ class MegaDepthHourglass(nn.Module):
             return [self._run(c, x, f"{path}_{i}")
                     for i, c in enumerate(node["children"])]
         if t == "concat":
+            branches = _match_inception(node)
+            if branches is not None:
+                return self._run_inception(branches, x, path)
             outs = [self._run(c, x, f"{path}_{i}")
                     for i, c in enumerate(node["children"])]
             return jnp.concatenate(outs, axis=-1)
