@@ -143,6 +143,8 @@ class DAINSlowMotion(nn.Module):
                                  # 196-ch context warps dispatch to the
                                  # big-C lane-gather kernel (exact any-f32,
                                  # ops/pallas/ctx_gather_kernel.py)
+    compute_dtype: str = "float32"   # conv compute dtype ("bfloat16" for
+                                     # the fast eval mode; ops stay f32)
 
     def setup(self):
         fs2 = self.filter_size ** 2
@@ -166,17 +168,22 @@ class DAINSlowMotion(nn.Module):
         depth_inv0 = depth_inv_from_log_depth(log_d0)[..., 0]
         depth_inv2 = depth_inv_from_log_depth(log_d2)[..., 0]
 
-        ctx0 = jnp.concatenate(
-            [self.ctx_net(i0), jax.lax.stop_gradient(log_d0)], axis=-1)
-        ctx2 = jnp.concatenate(
-            [self.ctx_net(i2), jax.lax.stop_gradient(log_d2)], axis=-1)
+        with conv_compute_dtype(self.compute_dtype):
+            ctx0 = jnp.concatenate(
+                [self.ctx_net(i0).astype(jnp.float32),
+                 jax.lax.stop_gradient(log_d0)], axis=-1)
+            ctx2 = jnp.concatenate(
+                [self.ctx_net(i2).astype(jnp.float32),
+                 jax.lax.stop_gradient(log_d2)], axis=-1)
 
-        cat = jnp.concatenate([i0, i2], axis=-1)
-        trunk = self.filter_net(cat)
-        filt0 = self.filter_head1(trunk)
-        filt1 = self.filter_head2(trunk)
+            cat = jnp.concatenate([i0, i2], axis=-1)
+            trunk = self.filter_net(cat)
+            filt0 = self.filter_head1(trunk).astype(jnp.float32)
+            filt1 = self.filter_head2(trunk).astype(jnp.float32)
 
-        raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
+            raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
+            raw_fwd = raw_fwd.astype(jnp.float32)
+            raw_bwd = raw_bwd.astype(jnp.float32)
         hole_fill = not train
 
         ctx_pair = jnp.concatenate([ctx0, ctx2], axis=0)
@@ -215,7 +222,9 @@ class DAINSlowMotion(nn.Module):
             rectify_input = jnp.concatenate(
                 [out, ref0, ref2, off0, off1, filt0, filt1, ctx0_w, ctx2_w],
                 axis=-1)
-            rect = self.rectify_net(rectify_input) + out
+            with conv_compute_dtype(self.compute_dtype):
+                rect = (self.rectify_net(rectify_input).astype(jnp.float32)
+                        + out)
 
             outputs.append(out)
             rectified_outputs.append(rect)
