@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import pytest
 
 from jax.sharding import Mesh
-from vfidkr_tpu.ops import filter_interpolate, flow_project
+from vfidkr_tpu.ops import (depth_flow_project, filter_interpolate,
+                            flow_project)
 from vfidkr_tpu.parallel.spatial import spatial_shard_fn
 
 
@@ -83,6 +84,28 @@ def test_op_chain_exact_with_hole_fill_under_row_sharding(rng):
                                 image, flow, filt))
     np.testing.assert_allclose(got_offs, want_offs, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(got_out, want_out, rtol=1e-4, atol=1e-4)
+
+
+def test_depth_projection_exact_with_fill_under_row_sharding(rng):
+    """The slow-motion op chain: DepthFlowProjection with hole fill is also
+    frame-exact under row sharding (the depth-weighted scatter shares
+    _landing's global-frame semantics and the fill's cross-shard scans)."""
+    n, halo = 8, 16
+    b, h, w = 1, 128, 64
+    mesh = _mesh(n)
+    base = np.array([4.0, -6.0], np.float32)
+    flow = base + (rng.rand(b, h, w, 2).astype(np.float32) - 0.5) * 2.0
+    flow[:, 30:70, 5:25] = 0.0
+    flow = jnp.asarray(flow)
+    depth_inv = jnp.asarray(rng.rand(b, h, w).astype(np.float32) + 0.1)
+
+    def chain(flow, depth_inv):
+        return depth_flow_project(flow, depth_inv[..., 0], hole_fill=True)
+
+    want = np.asarray(chain(flow, depth_inv[..., None]))
+    got = np.asarray(spatial_shard_fn(chain, mesh, halo)(
+        flow, depth_inv[..., None]))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.slow

@@ -624,7 +624,8 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
         # context) dispatch to the lane-gather kernel, whose cost per
         # channel octet is constant.
         params = _bandmm_pallas_params(*image.shape[1:])
-        if params is None and image.shape[-1] > 8:
+        if params is None and image.shape[-1] > 8 and filter_size == 4:
+            # the lane-gather kernel hardcodes the reference fs=4 window
             cparams = _ctx_pallas_params(*image.shape[1:])
             if cparams is not None:
                 return _filter_interpolate_ctx(image, flow, filt,
