@@ -71,6 +71,27 @@ def test_megadepth_shapes(rng):
     assert "batch_stats" in variables
 
 
+@pytest.mark.slow
+def test_megadepth_fusion_variants_share_params_and_outputs(rng):
+    """The inception-cell fusion reformulations (models/megadepth.py) must
+    declare the identical param tree and match the unfused evaluation to f32
+    rounding (both default OFF per the device ablation; this keeps the
+    opt-in paths honest)."""
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    m0 = MegaDepthHourglass(fuse_stage1=False, fuse_stage2_max_hw=0)
+    variables = m0.init(jax.random.PRNGKey(0), x)
+    y0 = m0.apply(variables, x)
+    for kw in (dict(fuse_stage1=True, fuse_stage2_max_hw=0),
+               dict(fuse_stage1=True, fuse_stage2_max_hw=1 << 30)):
+        m = MegaDepthHourglass(**kw)
+        v2 = m.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: a.shape == b.shape, variables, v2))
+        y = m.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y0),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_dain_forward(rng):
     i0 = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)
     i2 = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)

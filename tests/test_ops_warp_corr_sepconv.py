@@ -21,11 +21,12 @@ def test_interpolate_bilinear_forward(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-def test_correlation_forward(rng):
+@pytest.mark.parametrize("impl", ["slices", "banded"])
+def test_correlation_forward(rng, impl):
     f1 = rng.rand(6, 7, 5).astype(np.float32)
     f2 = rng.rand(6, 7, 5).astype(np.float32)
     want = golden.correlation_fwd(f1, f2, md=4)
-    got = np.asarray(correlation_cost_volume(f1[None], f2[None]))[0]
+    got = np.asarray(correlation_cost_volume(f1[None], f2[None], impl=impl))[0]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 

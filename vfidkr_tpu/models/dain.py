@@ -55,6 +55,7 @@ class DAIN(nn.Module):
                                  # ops/pallas/filter_bandmm_kernel.py)
     compute_dtype: str = "float32"   # conv compute dtype ("bfloat16" for
                                      # the fast eval mode; ops stay f32)
+    corr_impl: str = "slices"    # PWC cost-volume formulation
 
     def setup(self):
         assert self.timestep == 0.5, "DAIN supports t=0.5 only (DAIN.py:36)"
@@ -63,7 +64,7 @@ class DAIN(nn.Module):
         self.filter_head1 = BranchHead(fs2)
         self.filter_head2 = BranchHead(fs2)
         self.rectify_net = MultipleBasicBlock(4, 128)
-        self.flownets = PWCDCNet()
+        self.flownets = PWCDCNet(corr_impl=self.corr_impl)
         self.div_flow = 20.0
         if self.init_unused:
             self.occ_net = OccNet()
@@ -145,6 +146,9 @@ class DAINSlowMotion(nn.Module):
                                  # ops/pallas/ctx_gather_kernel.py)
     compute_dtype: str = "float32"   # conv compute dtype ("bfloat16" for
                                      # the fast eval mode; ops stay f32)
+    corr_impl: str = "slices"    # PWC cost-volume formulation
+    depth_fuse_s2_max_hw: int = 0   # MegaDepth inception stage-2 fusion
+                                    # (measured a loss at every threshold)
 
     def setup(self):
         fs2 = self.filter_size ** 2
@@ -153,10 +157,12 @@ class DAINSlowMotion(nn.Module):
         self.filter_head1 = BranchHead(fs2)
         self.filter_head2 = BranchHead(fs2)
         self.ctx_net = S2DF(3, True, True)
-        self.depth_net = MegaDepthHourglass(train_bn=self.train_bn)
+        self.depth_net = MegaDepthHourglass(
+            train_bn=self.train_bn,
+            fuse_stage2_max_hw=self.depth_fuse_s2_max_hw)
         # 3*3 + 2*1 + 2*2 + 2*16 + 2*196 = 437 input channels (:38)
         self.rectify_net = MultipleBasicBlock(4, 128)
-        self.flownets = PWCDCNet()
+        self.flownets = PWCDCNet(corr_impl=self.corr_impl)
         self.div_flow = 20.0
 
     def __call__(self, i0, i2, train: bool = False):

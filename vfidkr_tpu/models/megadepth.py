@@ -102,16 +102,25 @@ class MegaDepthHourglass(nn.Module):
     """Input (B,H,W,3) RGB in [0,1] (H,W divisible by 128 in practice);
     output (B,H,W,1) log-depth.
 
-    TPU evaluation fuses each inception cell's parallel branches (exactly —
-    parameters and math are unchanged): the branch 1x1 convs run as ONE conv
-    on the shared input (MAC-neutral), and at spatial sizes below
-    ``fuse_stage2_max_hw`` the 3x3/5x5/7x7(/11x11) second convs run as ONE
-    grouped conv with kernels zero-padded to the largest size (extra MACs
-    multiply zeros; a win only where op-launch overhead dominates the tiny
-    coarse levels).  The reference evaluates the same cells as ~8 separate
-    module calls (pytorch_DIW_scratch.py Lambda/Concat containers)."""
+    TPU evaluation can fuse each inception cell's parallel branches (exactly
+    — parameters and math are unchanged): with ``fuse_stage1`` the branch
+    1x1 convs run as ONE conv on the shared input (MAC-neutral), and at
+    spatial sizes below ``fuse_stage2_max_hw`` the 3x3/5x5/7x7(/11x11)
+    second convs run as ONE grouped conv with kernels zero-padded to the
+    largest size (extra MACs multiply zeros).  The reference evaluates the
+    same cells as ~8 separate module calls (pytorch_DIW_scratch.py
+    Lambda/Concat containers).
+
+    Device ablation (tools/ubench_fusion.py, v5e, batch-2 pair @448x256):
+    BOTH fusions are losses — no fusion 16.35 ms, stage-1 17.63, stage-1 +
+    stage-2@512 17.74, @2048 18.84, @8192 23.48.  The hourglass is not
+    launch-bound on this toolchain: XLA's native per-branch convs beat the
+    concat-kernel reformulations (stage 2 additionally pays padded-kernel
+    MACs and a poor grouped-conv lowering).  Both default OFF and are kept
+    for re-evaluation on other shapes/toolchains."""
     train_bn: bool = False   # True: use batch statistics + update running stats
-    fuse_stage2_max_hw: int = 8192
+    fuse_stage1: bool = False
+    fuse_stage2_max_hw: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -126,17 +135,26 @@ class MegaDepthHourglass(nn.Module):
 
     def _run_inception(self, branches, x, path):
         cin = x.shape[-1]
-        kb = [(_ConvP(c1["out"], cin, 1, 1, name=f"{path}_{i}_0")())
-              for i, (c1, _, _, _) in enumerate(branches)]
-        y = jax.lax.conv_general_dilated(
-            x, jnp.concatenate([k for k, _ in kb], axis=-1), (1, 1), "VALID",
-            dimension_numbers=_DN) + jnp.concatenate([b for _, b in kb])
+        if self.fuse_stage1:
+            kb = [(_ConvP(c1["out"], cin, 1, 1, name=f"{path}_{i}_0")())
+                  for i, (c1, _, _, _) in enumerate(branches)]
+            y = jax.lax.conv_general_dilated(
+                x, jnp.concatenate([k for k, _ in kb], axis=-1), (1, 1),
+                "VALID",
+                dimension_numbers=_DN) + jnp.concatenate([b for _, b in kb])
+            stage1 = []
+            off = 0
+            for c1, _, _, _ in branches:
+                stage1.append(y[..., off:off + c1["out"]])
+                off += c1["out"]
+        else:
+            stage1 = [nn.Conv(c1["out"], (1, 1), use_bias=True,
+                              name=f"{path}_{i}_0")(x)
+                      for i, (c1, _, _, _) in enumerate(branches)]
 
-        outs, off = [], 0
-        for i, (c1, b1, _, _) in enumerate(branches):
-            sl = y[..., off:off + c1["out"]]
-            off += c1["out"]
-            outs.append(nn.relu(self._bn(b1, f"{path}_{i}_1")(sl)))
+        outs = [nn.relu(self._bn(b1, f"{path}_{i}_1")(sl))
+                for i, ((_, b1, _, _), sl) in enumerate(zip(branches,
+                                                            stage1))]
 
         s2 = [i for i, b in enumerate(branches) if b[2] is not None]
         h, w = x.shape[1], x.shape[2]

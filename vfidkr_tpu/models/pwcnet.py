@@ -65,6 +65,7 @@ class PWCDCNet(nn.Module):
     """Input: two (B,H,W,3) frames; output: flow at (B,H/4,W/4,2), scaled by
     1/20 of true pixel flow (callers multiply by div_flow=20)."""
     md: int = 4
+    corr_impl: str = "slices"   # cost-volume formulation (ops/correlation.py)
 
     def setup(self):
         cl = ConvLReLU
@@ -104,7 +105,8 @@ class PWCDCNet(nn.Module):
         return c1, c2, c3, c4, c5, c6
 
     def _corr(self, a, b):
-        return leaky_relu(correlation_cost_volume(a, b, self.md), 0.1)
+        return leaky_relu(
+            correlation_cost_volume(a, b, self.md, impl=self.corr_impl), 0.1)
 
     def _dense(self, lvl, x):
         for i in range(5):
@@ -114,6 +116,11 @@ class PWCDCNet(nn.Module):
     def __call__(self, im1, im2, output_more: bool = False):
         return self._decode(self._pyramid(im1), self._pyramid(im2),
                             output_more)
+
+    def pyramid_only(self, im1, im2):
+        """Profiling probe: the batched siamese pyramid pass alone (the
+        MXU-bound part of ``bidirectional``; the rest is the decode)."""
+        return self._pyramid(jnp.concatenate([im1, im2], axis=0))
 
     def bidirectional(self, im1, im2):
         """Both flow directions with the siamese pyramids computed once

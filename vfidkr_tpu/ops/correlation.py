@@ -8,14 +8,20 @@ by ``md`` (the CUDA op materialises NHWC zero-padded copies in its
 ``channels_first`` kernel :47-70; normalisation is ``kernel_size**2 * C`` with
 ``kernel_size == 1`` in the only configuration used, PWCNet.py:72).
 
-On TPU the default formulation is a banded MXU matmul: per vertical shift
-``tj`` one ``(W, C) x (C, W+2md)`` dot per (image, row) computes every
-horizontal displacement at once, and the 2md+1 in-band diagonals are
-extracted with a pad/reshape (no gather).  ~10 ops total instead of the
-81 slice-multiply-reduce chains of the naive formulation — the correlation
-runs at the PWC decoder's tiny coarse levels where op-launch overhead
-dominates (BASELINE.md round-2 per-op table).  The naive formulation is
-kept as ``impl="slices"`` for comparison.
+Two formulations, selected by ``impl``:
+
+* ``"slices"`` (default): 81 shifted slice-multiply-reduce chains — XLA
+  fuses each into one elementwise+reduce op over contiguous data.
+* ``"banded"``: per vertical shift ``tj`` one ``(W, C) x (C, W+2md)`` MXU
+  dot per (image, row) computes every horizontal displacement at once, and
+  the 2md+1 in-band diagonals are extracted with a pad/reshape (no gather)
+  — ~10 ops instead of 81.
+
+Measured (tools/ubench_fusion.py, v5e, full bidirectional PWC pass
+@448x256): slices 3.11 ms vs banded 3.26 ms/pair — the fewer-but-heavier
+banded ops LOSE slightly (the in-band diagonal extraction's transposes and
+the wasted off-band MACs outweigh the launch savings), so slices stays the
+default and banded is kept for comparison.
 """
 
 from __future__ import annotations
@@ -60,7 +66,7 @@ def _corr_banded(f1, f2p, md):
 @functools.partial(jax.jit, static_argnames=("max_displacement", "impl"))
 def correlation_cost_volume(f1: jax.Array, f2: jax.Array,
                             max_displacement: int = 4,
-                            impl: str = "banded") -> jax.Array:
+                            impl: str = "slices") -> jax.Array:
     """(B,H,W,C) x (B,H,W,C) -> (B,H,W,(2md+1)**2) cost volume.
 
     Channel layout matches the reference: ``tc = (tj+md)*(2md+1)+(ti+md)``.
