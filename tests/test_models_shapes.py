@@ -92,6 +92,35 @@ def test_megadepth_fusion_variants_share_params_and_outputs(rng):
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_mononet_packed_matches_chained(rng):
+    """Phase-packed evaluation (models/phasepack.py) must share the exact
+    param tree with the chained path and match its outputs to f32 rounding
+    (MonoNet5 trunk + a branch head)."""
+    from vfidkr_tpu.models.mononet import BranchHead, MonoNet5
+    from vfidkr_tpu.models.phasepack import unpack2
+
+    x = jnp.asarray(rng.rand(1, 64, 96, 6), jnp.float32)
+    m0, mp = MonoNet5(impl="chained"), MonoNet5(impl="packed")
+    p = m0.init(jax.random.PRNGKey(0), x)
+    p2 = mp.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(jnp.array_equal, p, p2))
+    y0 = m0.apply(p, x)
+    yp = unpack2(mp.apply(p, x))
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+
+    h0, hp = BranchHead(16, impl="chained"), BranchHead(16, impl="packed")
+    ph = h0.init(jax.random.PRNGKey(1), y0)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        jnp.array_equal, ph, hp.init(jax.random.PRNGKey(1),
+                                     mp.apply(p, x))))
+    f0 = h0.apply(ph, y0)
+    fp = unpack2(hp.apply(ph, mp.apply(p, x)))
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(f0),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_dain_forward(rng):
     i0 = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)
     i2 = jnp.asarray(rng.rand(1, 64, 128, 3), jnp.float32)

@@ -53,6 +53,19 @@ def main():
     print(json.dumps({"metric": "pwc_decode_residual_ms",
                       "value": round((t_full - t_pyr) * 1e3, 3)}), flush=True)
 
+    prev = t_pyr
+    for upto in (6, 5, 4, 3, -1, -2, -3, 2):
+        def probe(x, upto=upto):
+            f = model.apply(params, x, i2, method="decode_upto", upto=upto)
+            s = jnp.sum(f)
+            return jnp.where(jnp.isfinite(s), jnp.roll(x, 7, axis=2), x)
+
+        t = device_time_slope(jax.jit(probe), i0, n1=20, n2=80)
+        print(json.dumps({"metric": f"pwc_decode_level_{upto}_ms",
+                          "value": round((t - prev) * 1e3, 3),
+                          "cum_ms": round(t * 1e3, 3)}), flush=True)
+        prev = t
+
 
 if __name__ == "__main__":
     main()

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from vfidkr_tpu.models.layers import conv_compute_dtype, upsample_bilinear
 from vfidkr_tpu.models.megadepth import MegaDepthHourglass, depth_inv_from_log_depth
 from vfidkr_tpu.models.mononet import BranchHead, DeconvField, MonoNet5, OccNet
+from vfidkr_tpu.models.phasepack import unpack2
 from vfidkr_tpu.models.pwcnet import PWCDCNet
 from vfidkr_tpu.models.resblock import MultipleBasicBlock
 from vfidkr_tpu.models.s2df import S2DF
@@ -56,13 +57,25 @@ class DAIN(nn.Module):
     compute_dtype: str = "float32"   # conv compute dtype ("bfloat16" for
                                      # the fast eval mode; ops stay f32)
     corr_impl: str = "slices"    # PWC cost-volume formulation
+    kernel_impl: str = "chained"  # MonoNet5/head evaluation.  "packed" /
+                                  # "packed_trunk" run the small-channel
+                                  # convs phase-packed (models/phasepack.py;
+                                  # exact to f32 rounding) — a 2x win in
+                                  # isolation but MEASURED NEUTRAL-TO-WORSE
+                                  # inside the full DAIN graph on v5e
+                                  # (chained 8.93 / packed_trunk 8.86 /
+                                  # packed 10.42 ms @448x256), so the
+                                  # default stays chained.
 
     def setup(self):
         assert self.timestep == 0.5, "DAIN supports t=0.5 only (DAIN.py:36)"
         fs2 = self.filter_size ** 2
-        self.filter_net = MonoNet5()
-        self.filter_head1 = BranchHead(fs2)
-        self.filter_head2 = BranchHead(fs2)
+        trunk_impl = "packed" if self.kernel_impl.startswith("packed") else \
+            self.kernel_impl
+        head_impl = "packed" if self.kernel_impl == "packed" else "chained"
+        self.filter_net = MonoNet5(impl=trunk_impl)
+        self.filter_head1 = BranchHead(fs2, impl=head_impl)
+        self.filter_head2 = BranchHead(fs2, impl=head_impl)
         self.rectify_net = MultipleBasicBlock(4, 128)
         self.flownets = PWCDCNet(corr_impl=self.corr_impl)
         self.div_flow = 20.0
@@ -96,8 +109,12 @@ class DAIN(nn.Module):
 
         with conv_compute_dtype(self.compute_dtype):
             trunk = self.filter_net(cat)
+            if self.kernel_impl == "packed_trunk":
+                trunk = unpack2(trunk)
             filt0 = self.filter_head1(trunk).astype(jnp.float32)
             filt1 = self.filter_head2(trunk).astype(jnp.float32)
+            if self.kernel_impl == "packed":
+                filt0, filt1 = unpack2(filt0), unpack2(filt1)
 
             raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
             raw_fwd = raw_fwd.astype(jnp.float32)
@@ -147,15 +164,20 @@ class DAINSlowMotion(nn.Module):
     compute_dtype: str = "float32"   # conv compute dtype ("bfloat16" for
                                      # the fast eval mode; ops stay f32)
     corr_impl: str = "slices"    # PWC cost-volume formulation
+    kernel_impl: str = "chained"  # MonoNet5/head evaluation (see DAIN;
+                                  # packed measured a loss in-graph)
     depth_fuse_s2_max_hw: int = 0   # MegaDepth inception stage-2 fusion
                                     # (measured a loss at every threshold)
 
     def setup(self):
         fs2 = self.filter_size ** 2
         self.num_frames = int(round(1.0 / self.timestep)) - 1
-        self.filter_net = MonoNet5()
-        self.filter_head1 = BranchHead(fs2)
-        self.filter_head2 = BranchHead(fs2)
+        trunk_impl = "packed" if self.kernel_impl.startswith("packed") else \
+            self.kernel_impl
+        head_impl = "packed" if self.kernel_impl == "packed" else "chained"
+        self.filter_net = MonoNet5(impl=trunk_impl)
+        self.filter_head1 = BranchHead(fs2, impl=head_impl)
+        self.filter_head2 = BranchHead(fs2, impl=head_impl)
         self.ctx_net = S2DF(3, True, True)
         self.depth_net = MegaDepthHourglass(
             train_bn=self.train_bn,
@@ -184,8 +206,12 @@ class DAINSlowMotion(nn.Module):
 
             cat = jnp.concatenate([i0, i2], axis=-1)
             trunk = self.filter_net(cat)
+            if self.kernel_impl == "packed_trunk":
+                trunk = unpack2(trunk)
             filt0 = self.filter_head1(trunk).astype(jnp.float32)
             filt1 = self.filter_head2(trunk).astype(jnp.float32)
+            if self.kernel_impl == "packed":
+                filt0, filt1 = unpack2(filt0), unpack2(filt1)
 
             raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
             raw_fwd = raw_fwd.astype(jnp.float32)

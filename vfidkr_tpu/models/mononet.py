@@ -30,6 +30,15 @@ from vfidkr_tpu.models.layers import (
     upsample_bilinear,
     upsample_bilinear_align_corners,
 )
+from vfidkr_tpu.models.phasepack import (
+    ConvParams,
+    ConvReLUParams,
+    pack2,
+    packed_conv3,
+    packed_maxpool,
+    packed_upsample2,
+    unpack2,
+)
 
 
 class ConvReLU(nn.Module):
@@ -45,10 +54,27 @@ class ConvReLU(nn.Module):
 
 class MonoNet5(nn.Module):
     """Trunk of the kernel-prediction net. Input (B,H,W,6) with H,W divisible
-    by 32; output (B,H,W,16)."""
+    by 32; output (B,H,W,16) — or its ``pack2`` form when ``impl='packed'``.
+
+    ``impl``:
+      * ``"chained"`` (default): plain convs, the reference evaluation shape.
+      * ``"packed"``: the full- and half-resolution stages (16/32/64-channel
+        convs whose MXU lane padding wastes up to 8x — see
+        models/phasepack.py) run phase-packed; identical parameters, same
+        values to f32 rounding.  The trunk is RETURNED packed
+        (B, H/2, W/2, 64) so the branch heads can stay packed too; callers
+        unpack once after the heads.
+    """
+    impl: str = "chained"
 
     @nn.compact
     def __call__(self, x):
+        if self.impl == "packed":
+            # pack2 needs even H/W (holds for the /32-divisible contract;
+            # halo-extended shard blocks could be odd — callers pass
+            # impl="chained" there, both paths share the param tree)
+            assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, x.shape
+            return self._packed(x)
         h = ConvReLU(16, name="in_conv")(x)
         skips = []
         for i, ch in enumerate([32, 64, 128, 256, 512]):
@@ -61,13 +87,47 @@ class MonoNet5(nn.Module):
             h = ConvReLU(ch, name=f"up{i + 1}")(h)
         return h
 
+    def _packed(self, x):
+        def pconv(name, ch_in, ch_out, xp):
+            k, b = ConvReLUParams(ch_out, ch_in, name=name)()
+            return nn.relu(packed_conv3(xp, k, b))
+
+        hp = pconv("in_conv", x.shape[-1], 16, pack2(x))
+        skip1 = pconv("down1", 16, 32, hp)            # packed @ full res
+        h = packed_maxpool(skip1)                     # unpacked half res
+        skip2 = pconv("down2", 32, 64, pack2(h))      # packed @ half res
+        h = packed_maxpool(skip2)                     # unpacked quarter res
+
+        skips = []
+        for i, ch in enumerate([128, 256, 512]):
+            h = ConvReLU(ch, name=f"down{i + 3}")(h)
+            skips.append(h)
+            h = max_pool_2x2(h)
+        h = ConvReLU(512, name="mid")(h)
+        for i, ch in enumerate([256, 128, 64]):
+            h = upsample_bilinear(h, 2) + skips.pop()
+            h = ConvReLU(ch, name=f"up{i + 1}")(h)
+
+        hp = packed_upsample2(h) + skip2              # packed @ half res
+        hp = pconv("up4", 64, 32, hp)
+        hp = packed_upsample2(unpack2(hp)) + skip1    # packed @ full res
+        return pconv("up5", 32, 16, hp)
+
 
 class BranchHead(nn.Module):
-    """conv_relu_conv(16, out) (DAIN.py:577-590): conv(16,16)+ReLU+conv(16,out)."""
+    """conv_relu_conv(16, out) (DAIN.py:577-590): conv(16,16)+ReLU+conv(16,out).
+
+    ``impl='packed'`` consumes/produces ``pack2`` maps (see MonoNet5)."""
     out_features: int = 16
+    impl: str = "chained"
 
     @nn.compact
     def __call__(self, x):
+        if self.impl == "packed":
+            k1, b1 = ConvParams(16, x.shape[-1] // 4, name="conv1")()
+            h = nn.relu(packed_conv3(x, k1, b1))
+            k2, b2 = ConvParams(self.out_features, 16, name="conv2")()
+            return packed_conv3(h, k2, b2)
         h = nn.relu(Conv(16, 3, 1, 1, name="conv1")(x))
         return Conv(self.out_features, 3, 1, 1, name="conv2")(h)
 

@@ -122,6 +122,19 @@ class PWCDCNet(nn.Module):
         MXU-bound part of ``bidirectional``; the rest is the decode)."""
         return self._pyramid(jnp.concatenate([im1, im2], axis=0))
 
+    def decode_upto(self, im1, im2, upto: int = 2):
+        """Profiling probe: pyramid + decode stopped after level ``upto``
+        (6 = coarsest only, 2 = everything incl. the context net).  Timing
+        differences between consecutive ``upto`` values attribute decode
+        cost per level."""
+        b = im1.shape[0]
+        pyr = self._pyramid(jnp.concatenate([im1, im2], axis=0))
+        p1 = tuple(c[:b] for c in pyr)
+        p2 = tuple(c[b:] for c in pyr)
+        fwd = tuple(jnp.concatenate([a, c], axis=0) for a, c in zip(p1, p2))
+        bwd = tuple(jnp.concatenate([c, a], axis=0) for a, c in zip(p1, p2))
+        return self._decode(fwd, bwd, False, stop_level=upto)
+
     def bidirectional(self, im1, im2):
         """Both flow directions with the siamese pyramids computed once
         (the reference runs two full passes, networks/DAIN.py:196-202; the
@@ -143,12 +156,15 @@ class PWCDCNet(nn.Module):
         flow = self._decode(fwd_src, bwd_src, False)
         return flow[:b], flow[b:]
 
-    def _decode(self, pyr1, pyr2, output_more: bool = False):
+    def _decode(self, pyr1, pyr2, output_more: bool = False,
+                stop_level: int = 2):
         c11, c12, c13, c14, c15, c16 = pyr1
         c21, c22, c23, c24, c25, c26 = pyr2
 
         x = self._dense(6, self._corr(c16, c26))
         flow6 = self.predict_flow6(x)
+        if stop_level >= 6:
+            return flow6
         up_flow6 = self.deconv6(flow6)
         up_feat6 = self.upfeat6(x)
 
@@ -156,6 +172,8 @@ class PWCDCNet(nn.Module):
         x = jnp.concatenate([self._corr(c15, warp5), c15, up_flow6, up_feat6], -1)
         x = self._dense(5, x)
         flow5 = self.predict_flow5(x)
+        if stop_level >= 5:
+            return flow5
         up_flow5 = self.deconv5(flow5)
         up_feat5 = self.upfeat5(x)
 
@@ -163,6 +181,8 @@ class PWCDCNet(nn.Module):
         x = jnp.concatenate([self._corr(c14, warp4), c14, up_flow5, up_feat5], -1)
         x = self._dense(4, x)
         flow4 = self.predict_flow4(x)
+        if stop_level >= 4:
+            return flow4
         up_flow4 = self.deconv4(flow4)
         up_feat4 = self.upfeat4(x)
 
@@ -170,12 +190,21 @@ class PWCDCNet(nn.Module):
         x = jnp.concatenate([self._corr(c13, warp3), c13, up_flow4, up_feat4], -1)
         x = self._dense(3, x)
         flow3 = self.predict_flow3(x)
+        if stop_level >= 3:
+            return flow3
         up_flow3 = self.deconv3(flow3)
         up_feat3 = self.upfeat3(x)
 
         warp2 = pwc_warp(c22, up_flow3 * 5.0)
-        x = jnp.concatenate([self._corr(c12, warp2), c12, up_flow3, up_feat3], -1)
+        if stop_level == -1:          # profiling probe: + warp2 only
+            return warp2[..., :2]
+        corr2 = self._corr(c12, warp2)
+        if stop_level == -2:          # probe: + corr2
+            return corr2[..., :2]
+        x = jnp.concatenate([corr2, c12, up_flow3, up_feat3], -1)
         x = self._dense(2, x)
+        if stop_level == -3:          # probe: + dense2
+            return x[..., :2]
         flow2 = self.predict_flow2(x)
 
         ctx = self.dc_conv4(self.dc_conv3(self.dc_conv2(self.dc_conv1(x))))
