@@ -180,18 +180,18 @@ def bench_vimeo_sweep():
     import os
     import subprocess
 
-    root = "/tmp/vimeo_syn_bench"
+    root = "/tmp/vimeo_syn_512"
     if not os.path.isdir(root):
         subprocess.run([sys.executable, "tools/make_synthetic_vimeo.py",
-                        "--out", root, "--n", "64"], check=True)
+                        "--out", root, "--n", "512"], check=True)
     out = subprocess.run(
         [sys.executable, "apps/eval_vimeo.py", "--dataset-path", root,
-         "--batch-size", "1"],
+         "--batch-size", "8"],
         check=True, capture_output=True, text=True).stdout
     res = json.loads(out.strip().splitlines()[-1])
     return {"metric": "vimeo_sweep_pairs_per_sec_e2e",
             "value": round(res["pairs_per_sec"], 3),
-            "unit": "pairs/s (incl. host IO + PSNR/SSIM)",
+            "unit": "pairs/s (incl. host IO + PSNR/SSIM, batch 8, 64 pairs)",
             "avg_psnr": round(res["avg_psnr"], 3)}
 
 

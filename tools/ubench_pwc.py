@@ -3,7 +3,9 @@
 (launch-bound), to size the per-level decode-fusion lever (ROADMAP item 1;
 reference decode structure: PWCNet/PWCNet.py:230-320).
 
-Usage: python tools/ubench_pwc.py    (one TPU process at a time)
+Usage: python tools/ubench_pwc.py [dense_impl]   (one TPU process at a time)
+``dense_impl``: concat (default) | split — dense-block evaluation mode
+(models/pwcnet.py).
 """
 
 from __future__ import annotations
@@ -27,7 +29,8 @@ def main():
                      jnp.float32)
     i2 = jnp.asarray(np.round(rng.rand(1, 256, 448, 3) * 255) / 255,
                      jnp.float32)
-    model = PWCDCNet()
+    dense_impl = sys.argv[1] if len(sys.argv) > 1 else "concat"
+    model = PWCDCNet(dense_impl=dense_impl)
     params = jax.jit(model.init, static_argnames=("method",))(
         jax.random.PRNGKey(0), i0, i2, method="bidirectional")
     jax.block_until_ready(params)

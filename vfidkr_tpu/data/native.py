@@ -41,6 +41,15 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         lib.vfidkr_native_version.restype = ctypes.c_int32
+        # Clamp the OpenMP pool to the cpus actually available: libgomp can
+        # misdetect topology in containers and oversubscribe (measured 23x
+        # END-TO-END slowdown of the Vimeo sweep on a 1-cpu host).  Respect
+        # an explicit OMP_NUM_THREADS if the user set one.
+        if "OMP_NUM_THREADS" not in os.environ:
+            try:
+                lib.omp_set_num_threads(ctypes.c_int(os.cpu_count() or 1))
+            except AttributeError:
+                pass
         _lib = lib
         return _lib
     return None

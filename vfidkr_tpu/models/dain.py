@@ -57,6 +57,9 @@ class DAIN(nn.Module):
     compute_dtype: str = "float32"   # conv compute dtype ("bfloat16" for
                                      # the fast eval mode; ops stay f32)
     corr_impl: str = "slices"    # PWC cost-volume formulation
+    dense_impl: str = "concat"   # PWC decode dense-block evaluation
+                                 # ("split" = split-weight, no concat
+                                 # buffers; see models/pwcnet.py)
     kernel_impl: str = "chained"  # MonoNet5/head evaluation.  "packed" /
                                   # "packed_trunk" run the small-channel
                                   # convs phase-packed (models/phasepack.py;
@@ -77,7 +80,8 @@ class DAIN(nn.Module):
         self.filter_head1 = BranchHead(fs2, impl=head_impl)
         self.filter_head2 = BranchHead(fs2, impl=head_impl)
         self.rectify_net = MultipleBasicBlock(4, 128)
-        self.flownets = PWCDCNet(corr_impl=self.corr_impl)
+        self.flownets = PWCDCNet(corr_impl=self.corr_impl,
+                                 dense_impl=self.dense_impl)
         self.div_flow = 20.0
         if self.init_unused:
             self.occ_net = OccNet()
@@ -164,6 +168,7 @@ class DAINSlowMotion(nn.Module):
     compute_dtype: str = "float32"   # conv compute dtype ("bfloat16" for
                                      # the fast eval mode; ops stay f32)
     corr_impl: str = "slices"    # PWC cost-volume formulation
+    dense_impl: str = "concat"   # PWC decode dense-block evaluation
     kernel_impl: str = "chained"  # MonoNet5/head evaluation (see DAIN;
                                   # packed measured a loss in-graph)
     depth_fuse_s2_max_hw: int = 0   # MegaDepth inception stage-2 fusion
@@ -184,7 +189,8 @@ class DAINSlowMotion(nn.Module):
             fuse_stage2_max_hw=self.depth_fuse_s2_max_hw)
         # 3*3 + 2*1 + 2*2 + 2*16 + 2*196 = 437 input channels (:38)
         self.rectify_net = MultipleBasicBlock(4, 128)
-        self.flownets = PWCDCNet(corr_impl=self.corr_impl)
+        self.flownets = PWCDCNet(corr_impl=self.corr_impl,
+                                 dense_impl=self.dense_impl)
         self.div_flow = 20.0
 
     def __call__(self, i0, i2, train: bool = False):

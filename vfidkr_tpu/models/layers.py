@@ -67,7 +67,19 @@ def msra_normal_torch(key, shape, dtype=jnp.float32):
 
 
 class Conv(nn.Module):
-    """nn.Conv2d equivalent: explicit symmetric padding, optional dilation."""
+    """nn.Conv2d equivalent: explicit symmetric padding, optional dilation.
+
+    Params live under ``conv/{kernel,bias}`` with nn.Conv's naming and HWIO
+    layout (the converter depends on both).
+
+    ``pieces``: when a sequence of arrays is passed instead of ``x``, the
+    conv is evaluated as ``sum_i conv(piece_i, kernel[:, :, off_i:off_i+c_i])``
+    — mathematically the conv of ``concat(pieces, -1)`` but without ever
+    materialising the concat buffer (the PWC decode dense blocks re-read
+    growing concats; split-weight evaluation removes those copies).  Summation
+    order differs from the fused contraction, so results match to f32
+    rounding, not bit-for-bit.
+    """
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -77,22 +89,61 @@ class Conv(nn.Module):
     kernel_init: Callable = xavier_uniform_torch
 
     @nn.compact
-    def __call__(self, x):
-        p = self.padding
+    def __call__(self, x=None, pieces: Optional[Sequence] = None):
+        inner = _ConvParams(
+            features=self.features, kernel_size=self.kernel_size,
+            stride=self.stride, padding=self.padding, dilation=self.dilation,
+            use_bias=self.use_bias, kernel_init=self.kernel_init,
+            name="Conv_0")      # param path identical to the former nn.Conv
+        return inner(x, pieces)
+
+
+class _ConvParams(nn.Module):
+    """Explicit conv core owning ``kernel``/``bias`` (nn.Conv names/layout)."""
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    dilation: int
+    use_bias: bool
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, x=None, pieces: Optional[Sequence] = None):
+        in_ch = (sum(p.shape[-1] for p in pieces) if pieces is not None
+                 else x.shape[-1])
+        k = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (k, k, in_ch, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
         dt = _compute_dt()
         if dt is not None:
-            x = x.astype(dt)
-        return nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
-            bias_init=nn.initializers.zeros,
-            dtype=dt,
-        )(x)
+            kernel = kernel.astype(dt)
+        p = self.padding
+
+        def one(inp, ker):
+            if dt is not None:
+                inp = inp.astype(dt)
+            return jax.lax.conv_general_dilated(
+                inp, ker,
+                window_strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        if pieces is not None:
+            off, y = 0, None
+            for piece in pieces:
+                c = piece.shape[-1]
+                part = one(piece, kernel[:, :, off:off + c, :])
+                y = part if y is None else y + part
+                off += c
+        else:
+            y = one(x, kernel)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class ConvTranspose(nn.Module):
@@ -111,24 +162,38 @@ class ConvTranspose(nn.Module):
     kernel_init: Callable = xavier_uniform_torch
 
     @nn.compact
-    def __call__(self, x):
-        in_ch = x.shape[-1]
+    def __call__(self, x=None, pieces: Optional[Sequence] = None):
+        in_ch = (sum(p.shape[-1] for p in pieces) if pieces is not None
+                 else x.shape[-1])
         k = self.kernel_size
         kernel = self.param("kernel", self.kernel_init,
                             (k, k, in_ch, self.features))
         flipped = kernel[::-1, ::-1]
         dt = _compute_dt()
         if dt is not None:
-            x = x.astype(dt)
             flipped = flipped.astype(dt)
         pad = k - 1 - self.padding
-        y = jax.lax.conv_general_dilated(
-            x, flipped,
-            window_strides=(1, 1),
-            padding=((pad, pad), (pad, pad)),
-            lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+
+        def one(inp, ker):
+            if dt is not None:
+                inp = inp.astype(dt)
+            return jax.lax.conv_general_dilated(
+                inp, ker,
+                window_strides=(1, 1),
+                padding=((pad, pad), (pad, pad)),
+                lhs_dilation=(self.stride, self.stride),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        if pieces is not None:      # split-weight evaluation (see Conv)
+            off, y = 0, None
+            for piece in pieces:
+                c = piece.shape[-1]
+                part = one(piece, flipped[:, :, off:off + c, :])
+                y = part if y is None else y + part
+                off += c
+        else:
+            y = one(x, flipped)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)

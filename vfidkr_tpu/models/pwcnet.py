@@ -40,25 +40,28 @@ class ConvLReLU(nn.Module):
     dilation: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None, pieces=None):
         x = Conv(self.features, self.kernel_size, self.stride, self.padding,
-                 self.dilation, kernel_init=kaiming_normal_torch, name="conv")(x)
+                 self.dilation, kernel_init=kaiming_normal_torch,
+                 name="conv")(x, pieces=pieces)
         return leaky_relu(x, 0.1)
 
 
 class PredictFlow(nn.Module):
     @nn.compact
-    def __call__(self, x):
-        return Conv(2, 3, 1, 1, kernel_init=kaiming_normal_torch, name="conv")(x)
+    def __call__(self, x=None, pieces=None):
+        return Conv(2, 3, 1, 1, kernel_init=kaiming_normal_torch,
+                    name="conv")(x, pieces=pieces)
 
 
 class Deconv(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None, pieces=None):
         return ConvTranspose(self.features, 4, 2, 1,
-                             kernel_init=kaiming_normal_torch, name="deconv")(x)
+                             kernel_init=kaiming_normal_torch,
+                             name="deconv")(x, pieces=pieces)
 
 
 class PWCDCNet(nn.Module):
@@ -66,6 +69,11 @@ class PWCDCNet(nn.Module):
     1/20 of true pixel flow (callers multiply by div_flow=20)."""
     md: int = 4
     corr_impl: str = "slices"   # cost-volume formulation (ops/correlation.py)
+    # Dense-block evaluation: "concat" materialises the reference's growing
+    # concat buffers (PWCNet.py:111-127); "split" keeps the pieces separate
+    # and evaluates every consumer conv with split weights (layers.Conv
+    # ``pieces``) — identical MACs, no concat copies, f32-rounding-identical.
+    dense_impl: str = "concat"
 
     def setup(self):
         cl = ConvLReLU
@@ -108,10 +116,22 @@ class PWCDCNet(nn.Module):
         return leaky_relu(
             correlation_cost_volume(a, b, self.md, impl=self.corr_impl), 0.1)
 
-    def _dense(self, lvl, x):
+    def _dense(self, lvl, xs):
+        """DenseNet block on a pieces list (newest first, matching the
+        reference's ``concat([conv(x), x])`` channel order)."""
+        if self.dense_impl == "concat":
+            x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+            for i in range(5):
+                x = jnp.concatenate(
+                    [getattr(self, f"conv{lvl}_{i}")(x), x], axis=-1)
+            return [x]
         for i in range(5):
-            x = jnp.concatenate([getattr(self, f"conv{lvl}_{i}")(x), x], axis=-1)
-        return x
+            xs = [getattr(self, f"conv{lvl}_{i}")(pieces=xs)] + xs
+        return xs
+
+    @staticmethod
+    def _apply_x(mod, xs):
+        return mod(xs[0]) if len(xs) == 1 else mod(pieces=xs)
 
     def __call__(self, im1, im2, output_more: bool = False):
         return self._decode(self._pyramid(im1), self._pyramid(im2),
@@ -161,39 +181,36 @@ class PWCDCNet(nn.Module):
         c11, c12, c13, c14, c15, c16 = pyr1
         c21, c22, c23, c24, c25, c26 = pyr2
 
-        x = self._dense(6, self._corr(c16, c26))
-        flow6 = self.predict_flow6(x)
+        xs = self._dense(6, [self._corr(c16, c26)])
+        flow6 = self._apply_x(self.predict_flow6, xs)
         if stop_level >= 6:
             return flow6
         up_flow6 = self.deconv6(flow6)
-        up_feat6 = self.upfeat6(x)
+        up_feat6 = self._apply_x(self.upfeat6, xs)
 
         warp5 = pwc_warp(c25, up_flow6 * 0.625)
-        x = jnp.concatenate([self._corr(c15, warp5), c15, up_flow6, up_feat6], -1)
-        x = self._dense(5, x)
-        flow5 = self.predict_flow5(x)
+        xs = self._dense(5, [self._corr(c15, warp5), c15, up_flow6, up_feat6])
+        flow5 = self._apply_x(self.predict_flow5, xs)
         if stop_level >= 5:
             return flow5
         up_flow5 = self.deconv5(flow5)
-        up_feat5 = self.upfeat5(x)
+        up_feat5 = self._apply_x(self.upfeat5, xs)
 
         warp4 = pwc_warp(c24, up_flow5 * 1.25)
-        x = jnp.concatenate([self._corr(c14, warp4), c14, up_flow5, up_feat5], -1)
-        x = self._dense(4, x)
-        flow4 = self.predict_flow4(x)
+        xs = self._dense(4, [self._corr(c14, warp4), c14, up_flow5, up_feat5])
+        flow4 = self._apply_x(self.predict_flow4, xs)
         if stop_level >= 4:
             return flow4
         up_flow4 = self.deconv4(flow4)
-        up_feat4 = self.upfeat4(x)
+        up_feat4 = self._apply_x(self.upfeat4, xs)
 
         warp3 = pwc_warp(c23, up_flow4 * 2.5)
-        x = jnp.concatenate([self._corr(c13, warp3), c13, up_flow4, up_feat4], -1)
-        x = self._dense(3, x)
-        flow3 = self.predict_flow3(x)
+        xs = self._dense(3, [self._corr(c13, warp3), c13, up_flow4, up_feat4])
+        flow3 = self._apply_x(self.predict_flow3, xs)
         if stop_level >= 3:
             return flow3
         up_flow3 = self.deconv3(flow3)
-        up_feat3 = self.upfeat3(x)
+        up_feat3 = self._apply_x(self.upfeat3, xs)
 
         warp2 = pwc_warp(c22, up_flow3 * 5.0)
         if stop_level == -1:          # profiling probe: + warp2 only
@@ -201,13 +218,13 @@ class PWCDCNet(nn.Module):
         corr2 = self._corr(c12, warp2)
         if stop_level == -2:          # probe: + corr2
             return corr2[..., :2]
-        x = jnp.concatenate([corr2, c12, up_flow3, up_feat3], -1)
-        x = self._dense(2, x)
+        xs = self._dense(2, [corr2, c12, up_flow3, up_feat3])
         if stop_level == -3:          # probe: + dense2
-            return x[..., :2]
-        flow2 = self.predict_flow2(x)
+            return xs[0][..., :2]
+        flow2 = self._apply_x(self.predict_flow2, xs)
 
-        ctx = self.dc_conv4(self.dc_conv3(self.dc_conv2(self.dc_conv1(x))))
+        ctx = self._apply_x(self.dc_conv1, xs)
+        ctx = self.dc_conv4(self.dc_conv3(self.dc_conv2(ctx)))
         flow2 = flow2 + self.dc_conv7(self.dc_conv6(self.dc_conv5(ctx)))
 
         if output_more:

@@ -162,23 +162,15 @@ def _filter_interpolate_2d_block(image, flow, filt, filter_size):
 
     starts = jnp.stack([(iy_t + pad_lo).reshape(-1),
                         (ix_l + pad_lo).reshape(-1)], axis=-1)   # (H*W, 2)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-        start_index_map=(0, 1))
-    blocks = jax.lax.gather(
-        ipad, starts, dnums, slice_sizes=(fs, fs, c),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-    taps = blocks.reshape(h, w, fs, fs, c)                        # (y,x,dj,di,c)
 
     wx = jnp.stack([alpha if di >= half else 1.0 - alpha for di in range(fs)],
                    axis=-1)
     wy = jnp.stack([beta if dj >= half else 1.0 - beta for dj in range(fs)],
                    axis=-1)
     kweights = filt.reshape(h, w, fs, fs)                         # (y,x,dj,di)
-    weight = kweights * wy[..., :, None] * wx[..., None, :]
-    out = jnp.einsum("yxji,yxjic->yxc", weight, taps,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+    weight = kweights * wy[..., :, None] * wx[..., None, :]       # (y,x,dj,di)
+    out = _blocked_gather_reduce(
+        ipad, starts, weight.reshape(h * w, fs * fs), fs, c).reshape(h, w, c)
 
     fallback = jax.lax.stop_gradient(image.astype(jnp.float32))
     return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
@@ -275,6 +267,60 @@ def _filter_interpolate_slab(image, flow, filt, filter_size, band, tw,
     return jnp.where(valid[..., None], out, fallback).astype(image.dtype)
 
 
+_GATHER_CHUNK = 262144
+"""Max indices per blocked ``lax.gather``.  XLA gives the gather's
+``(n, fs, fs, c)`` output a ``T(8,128)``-tiled layout with ``c`` on lanes —
+a 42x padded allocation at fs=4/c=3 — and large frames then fail to compile
+(2x768x1280 crashes the compile helper; a batch-8 Vimeo sweep reports
+``Allocation (size=21474836480) would exceed memory``).  Defences: (a) the
+per-pixel weighted reduction runs INSIDE each <=256k-index chunk
+(``_blocked_gather_reduce``), so the padded blocks buffer stays <=700 MB and
+is reused across the unrolled chunks (vmap/scan wrappers around a chunked
+gather hang the same compiler — keep the loop in Python); (b) the batch
+dimension maps sequentially (``lax.map``) above ``_VMAP_GATHER_PX`` pixels so
+batching never multiplies a compiled gather's index count (``_batch_map``)."""
+
+_VMAP_GATHER_PX = 1_500_000
+
+
+def _batch_map(core, *args):
+    """vmap for normal workloads; sequential lax.map when the TOTAL
+    (batch x pixels) index count would exceed the compiler's limit under
+    vmap (a vmapped gather batches the index vector: 2x768x1280 and
+    16x320x512 both crash the compile helper; per-image they compile).
+    Gather cost is index-count dominated, so sequencing does not change
+    device throughput."""
+    b, h, w = args[0].shape[:3]
+    if b * h * w > _VMAP_GATHER_PX:
+        return jax.lax.map(lambda a: core(*a), args)
+    return jax.vmap(core)(*args)
+
+
+def _blocked_gather_reduce(ipad, starts, kw_flat, fs, c):
+    """(n, 2) window starts + (n, fs*fs) weights -> (n, c) weighted window
+    sums.  The reduction runs per chunk so the (m, fs, fs, c) blocks
+    intermediate never exceeds the chunk size (see ``_GATHER_CHUNK``)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+
+    def g(s, k):
+        blocks = jax.lax.gather(
+            ipad, s, dnums, slice_sizes=(fs, fs, c),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        return jnp.einsum("mk,mkc->mc", k,
+                          blocks.reshape(s.shape[0], fs * fs, c),
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    n = starts.shape[0]
+    if n <= _GATHER_CHUNK:
+        return g(starts, kw_flat)
+    chunks = [g(starts[i:i + _GATHER_CHUNK], kw_flat[i:i + _GATHER_CHUNK])
+              for i in range(0, n, _GATHER_CHUNK)]
+    return jnp.concatenate(chunks, axis=0)
+
+
 def _block_from_geometry(img32, base_v, base_u, kw, fs):
     """The exact blocked-gather valid-branch sum, from precomputed geometry
     (shared with the Pallas path so the lax.cond branches agree bit-for-bit
@@ -287,19 +333,11 @@ def _block_from_geometry(img32, base_v, base_u, kw, fs):
 
     def one(ipad, base_v, base_u, kw):
         starts = jnp.stack([base_v.reshape(-1), base_u.reshape(-1)], axis=-1)
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-            start_index_map=(0, 1))
-        blocks = jax.lax.gather(
-            ipad, starts, dnums, slice_sizes=(fs, fs, c),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-        taps = blocks.reshape(h, w, fs, fs, c)
-        return jnp.einsum("yxk,yxkc->yxc", kw,
-                          taps.reshape(h, w, fs * fs, c),
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+        out = _blocked_gather_reduce(ipad, starts,
+                                     kw.reshape(h * w, fs * fs), fs, c)
+        return out.reshape(h, w, c)
 
-    return jax.vmap(one)(ipad, base_v, base_u, kw)
+    return _batch_map(one, ipad, base_v, base_u, kw)
 
 
 def _ctx_pallas_params(h, w, c):
@@ -642,4 +680,4 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
         "block": _filter_interpolate_2d_block,
     }[impl]
     core = functools.partial(fn, filter_size=filter_size)
-    return jax.vmap(core)(image, flow, filt)
+    return _batch_map(core, image, flow, filt)
