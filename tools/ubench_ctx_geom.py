@@ -37,14 +37,15 @@ def main():
 
     yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
 
-    def smooth_flow(amp):
-        fy = amp * np.sin(2 * np.pi * xx / W * 3.0) \
-            * np.cos(2 * np.pi * yy / H * 2.0)
-        fx = amp * np.cos(2 * np.pi * xx / W * 2.0)
+    def smooth_flow(amp, periods):
+        fy = amp * np.sin(2 * np.pi * xx / W * periods) \
+            * np.cos(2 * np.pi * yy / H * periods)
+        fx = amp * np.cos(2 * np.pi * xx / W * periods)
         return fy, fx
 
     cases = {}
-    for tag, (fy, fx) in (("smooth15", smooth_flow(15.0)),
+    for tag, (fy, fx) in (("gentle15", smooth_flow(15.0, 1.0)),
+                          ("wavy15", smooth_flow(15.0, 3.0)),
                           ("random", (rng.rand(H, W) * 40 - 20,
                                       rng.rand(H, W) * 40 - 20))):
         base_v = np.clip(np.floor(yy + fy).astype(np.int32), -8, H + 8)

@@ -224,6 +224,15 @@ class DAINSlowMotion(nn.Module):
             raw_bwd = raw_bwd.astype(jnp.float32)
         hole_fill = not train
 
+        # The time steps are independent given the shared flows/kernels/
+        # contexts, but KEEP the reference-shaped per-step loop (
+        # DAIN_slowmotion.py:167-183): device ablations show step
+        # batching loses both ways — the projection/warp ops carry
+        # whole-call oversize lax.conds, and batching steps conds EVERY
+        # step to the slow exact path as soon as one step's flows leave the
+        # slab bounds (240 -> 600 ms/pair at 8x random-init); batching just
+        # the rectify convs adds a cross-step 437-ch input concat whose HBM
+        # traffic eats the launch savings (4x: 114.4 -> 116.1 ms/pair).
         ctx_pair = jnp.concatenate([ctx0, ctx2], axis=0)
         filt_pair = jnp.concatenate([filt0, filt1], axis=0)
         frame_pair = jnp.concatenate([i0, i2], axis=0)

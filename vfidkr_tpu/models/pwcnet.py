@@ -73,6 +73,10 @@ class PWCDCNet(nn.Module):
     # concat buffers (PWCNet.py:111-127); "split" keeps the pieces separate
     # and evaluates every consumer conv with split weights (layers.Conv
     # ``pieces``) — identical MACs, no concat copies, f32-rounding-identical.
+    # Measured (v5e, bidirectional pair 448x256): split 3.01 ms vs concat
+    # 3.08 ms — XLA already fuses most concat copies, so split stays
+    # opt-in (its f32 reassociation shifts final flows ~3e-3 at random
+    # init via warp-position amplification).
     dense_impl: str = "concat"
 
     def setup(self):
