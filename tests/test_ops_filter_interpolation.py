@@ -81,3 +81,32 @@ def test_vmap_batch(rng):
     for i in range(b):
         want = golden.filter_interpolate_fwd(images[i], flows[i], filts[i])
         np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-5)
+
+
+def test_large_frame_chunked_paths_match(rng, monkeypatch):
+    """The big-frame defences (chunked blocked gather + sequential batch
+    map, ops/filter_interpolation.py _GATHER_CHUNK notes) must be
+    value-identical to the plain paths.  Shrink the thresholds so a small
+    case exercises chunking, lax.map batching, and the padded last chunk."""
+    import vfidkr_tpu.ops.filter_interpolation as F
+
+    b, h, w = 3, 9, 11
+    images = rng.rand(b, h, w, 3).astype(np.float32)
+    flows = (rng.rand(b, h, w, 2).astype(np.float32) - 0.5) * 4
+    filts = rng.rand(b, h, w, 16).astype(np.float32)
+
+    plain = {impl: np.asarray(filter_interpolate(images, flows, filts,
+                                                 impl=impl))
+             for impl in ("block", "gather")}
+
+    monkeypatch.setattr(F, "_GATHER_CHUNK", 32)     # 99 px -> 4 chunks
+    monkeypatch.setattr(F, "_VMAP_GATHER_PX", 10)   # force lax.map batching
+    for impl in ("block", "gather"):
+        got = np.asarray(filter_interpolate(images, flows, filts, impl=impl))
+        np.testing.assert_array_equal(got, plain[impl])
+
+    # gradients flow through the chunked path too
+    def loss(im):
+        return jnp.sum(filter_interpolate(im, flows, filts, impl="block"))
+    g = jax.grad(loss)(jnp.asarray(images))
+    assert np.all(np.isfinite(np.asarray(g)))
