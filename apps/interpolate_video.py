@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--torch-checkpoint", default=None)
     ap.add_argument("--save-which", type=int, default=1)
+    ap.add_argument("--depth-impl", default="packed",
+                    choices=["chained", "packed"],
+                    help="DAIN_slowmotion MegaDepth evaluation: 'packed' "
+                         "(phase-packed, ~1.4x faster, exact to conv "
+                         "rounding) or the canonical 'chained'")
     ap.add_argument("--spatial-shards", type=int, default=1,
                     help="row-shard frames over N devices with halo exchange"
                          " (frames N x taller than one chip's HBM fit)")
@@ -61,8 +66,14 @@ def main():
     if args.model == "DAIN" and args.time_step != 0.5:
         ap.error("DAIN supports --time-step 0.5 only (networks/DAIN.py:36); "
                  "use --model DAIN_slowmotion for other rates")
-    kwargs = {"timestep": args.time_step} if args.model == "DAIN_slowmotion" \
-        else {}
+    if args.model == "DAIN_slowmotion":
+        # packed depth: phase-packed hourglass eval (models/phasepack.py) —
+        # 16.3 -> 11.9 ms on the depth net, exact to conv rounding; kernels
+        # are pre-packed after checkpoint load below
+        kwargs = {"timestep": args.time_step,
+                  "depth_impl": args.depth_impl}
+    else:
+        kwargs = {}
     kwargs["filter_impl"] = "slab8"   # PNG-decoded frames are on the
                                       # 8-bit grid (exact fast path)
     model = build_model(args.model, **kwargs)
@@ -103,6 +114,15 @@ def main():
         import orbax.checkpoint as ocp
         variables = jax.device_put(ocp.StandardCheckpointer().restore(
             args.checkpoint, jax.device_get(variables)))
+
+    if args.model == "DAIN_slowmotion" and args.depth_impl == "packed":
+        # pre-pack the hourglass conv kernels once (checkpoints store the
+        # canonical tree), so per-call graphs carry no kernel transforms
+        from vfidkr_tpu.models.megadepth import prepack_megadepth
+        variables = dict(variables)
+        variables["params"] = dict(variables["params"])
+        variables["params"]["depth_net"] = jax.jit(prepack_megadepth)(
+            variables["params"]["depth_net"])
 
     def fwd(variables, a, b):
         res = model.apply(variables, a, b)

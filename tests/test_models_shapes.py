@@ -117,6 +117,33 @@ def test_megadepth_fusion_variants_share_params_and_outputs(rng):
                                    rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
+def test_megadepth_packed_matches_unpacked(rng):
+    """Phase-packed hourglass evaluation (packed=True, models/phasepack.py
+    general-k machinery) must share the exact param tree with the canonical
+    mode and reproduce its output to f32 rounding — both with the original
+    params (in-graph kernel packing) and with ``prepack_megadepth``'d
+    params (the load-time path inference drivers use)."""
+    from vfidkr_tpu.models.megadepth import prepack_megadepth
+
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    m0 = MegaDepthHourglass()
+    variables = m0.init(jax.random.PRNGKey(0), x)
+    y0 = np.asarray(m0.apply(variables, x))
+
+    mp = MegaDepthHourglass(packed=True)
+    vp = mp.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: a.shape == b.shape, variables, vp))
+    yp = np.asarray(mp.apply(variables, x))
+    np.testing.assert_allclose(yp, y0, rtol=2e-5, atol=2e-6)
+
+    vpre = dict(variables)
+    vpre["params"] = prepack_megadepth(variables["params"])
+    yq = np.asarray(mp.apply(vpre, x))
+    np.testing.assert_allclose(yq, y0, rtol=2e-5, atol=2e-6)
+
+
 def test_mononet_packed_matches_chained(rng):
     """Phase-packed evaluation (models/phasepack.py) must share the exact
     param tree with the chained path and match its outputs to f32 rounding
@@ -197,3 +224,32 @@ def test_dain_slowmotion_forward(rng):
     outs, rects = res["outputs"]
     assert len(outs) == 3 and len(rects) == 3   # 1/0.25 - 1 frames
     assert outs[0].shape == (1, 64, 64, 3)
+
+
+@pytest.mark.slow
+def test_dain_slowmotion_packed_depth_matches(rng):
+    """depth_impl='packed' (phase-packed hourglass + prepacked kernels, the
+    video-driver eval default) must share the canonical param tree and match
+    the chained model's outputs to conv-rounding tolerance."""
+    from vfidkr_tpu.models.megadepth import prepack_megadepth
+
+    i0 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    i2 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    m0 = DAINSlowMotion(timestep=0.5)
+    variables = m0.init(jax.random.PRNGKey(0), i0, i2)
+    (y0,), (r0,) = m0.apply(variables, i0, i2)["outputs"]
+
+    mp = DAINSlowMotion(timestep=0.5, depth_impl="packed")
+    vp = mp.init(jax.random.PRNGKey(0), i0, i2)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: a.shape == b.shape, variables, vp))
+
+    vpre = dict(variables)
+    vpre["params"] = dict(variables["params"])
+    vpre["params"]["depth_net"] = prepack_megadepth(
+        variables["params"]["depth_net"])
+    (yp,), (rp,) = mp.apply(vpre, i0, i2)["outputs"]
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(y0),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(r0),
+                               rtol=1e-3, atol=1e-4)

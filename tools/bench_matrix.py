@@ -118,7 +118,7 @@ def bench_hd():
             "note": "≥720p on one chip; reference OOMs at 720p on 16GB"}
 
 
-def bench_slowmotion(timestep):
+def bench_slowmotion(timestep, depth_impl="chained"):
     import jax
     import jax.numpy as jnp
     from vfidkr_tpu.models import DAINSlowMotion
@@ -127,9 +127,15 @@ def bench_slowmotion(timestep):
     rng = np.random.RandomState(0)
     h, w = 256, 448
     i0, i2 = _frames(rng, 1, h, w), _frames(rng, 1, h, w)
-    model = DAINSlowMotion(timestep=timestep)
+    model = DAINSlowMotion(timestep=timestep, depth_impl=depth_impl)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), i0, i2)
     jax.block_until_ready(params)
+    if depth_impl == "packed":
+        from vfidkr_tpu.models.megadepth import prepack_megadepth
+        params = dict(params)
+        params["params"] = dict(params["params"])
+        params["params"]["depth_net"] = jax.device_get(jax.jit(
+            prepack_megadepth)(params["params"]["depth_net"]))
     nf = int(round(1.0 / timestep)) - 1
 
     def step(x):
@@ -139,7 +145,8 @@ def bench_slowmotion(timestep):
 
     t = device_time_slope(jax.jit(step), i0, n1=5, n2=20)
     mult = int(round(1.0 / timestep))
-    return {"metric": f"dain_slowmotion_{mult}x_pair_ms_448x256",
+    suffix = "" if depth_impl == "chained" else f"_{depth_impl}depth"
+    return {"metric": f"dain_slowmotion_{mult}x_pair_ms_448x256{suffix}",
             "value": round(t * 1e3, 3), "unit": "ms/pair",
             "frames_per_sec": round(nf / t, 2)}
 
@@ -202,6 +209,8 @@ CONFIGS = {
     "hd": bench_hd,
     "slowmotion4x": lambda: bench_slowmotion(0.25),
     "slowmotion8x": lambda: bench_slowmotion(0.125),
+    "slowmotion4xp": lambda: bench_slowmotion(0.25, depth_impl="packed"),
+    "slowmotion8xp": lambda: bench_slowmotion(0.125, depth_impl="packed"),
     "train": bench_train,
     "vimeo": bench_vimeo_sweep,
 }

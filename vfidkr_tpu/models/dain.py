@@ -173,6 +173,9 @@ class DAINSlowMotion(nn.Module):
                                   # packed measured a loss in-graph)
     depth_fuse_s2_max_hw: int = 0   # MegaDepth inception stage-2 fusion
                                     # (measured a loss at every threshold)
+    depth_impl: str = "chained"  # "packed": phase-packed hourglass eval
+                                 # (models/phasepack.py general-k; eval-only,
+                                 # pre-pack kernels with prepack_megadepth)
 
     def setup(self):
         fs2 = self.filter_size ** 2
@@ -186,7 +189,8 @@ class DAINSlowMotion(nn.Module):
         self.ctx_net = S2DF(3, True, True)
         self.depth_net = MegaDepthHourglass(
             train_bn=self.train_bn,
-            fuse_stage2_max_hw=self.depth_fuse_s2_max_hw)
+            fuse_stage2_max_hw=self.depth_fuse_s2_max_hw,
+            packed=self.depth_impl == "packed")
         # 3*3 + 2*1 + 2*2 + 2*16 + 2*196 = 437 input channels (:38)
         self.rectify_net = MultipleBasicBlock(4, 128)
         self.flownets = PWCDCNet(corr_impl=self.corr_impl,

@@ -53,12 +53,39 @@ class _ConvP(nn.Module):
 
     @nn.compact
     def __call__(self):
+        if not self.is_initializing() and self.has_variable("params",
+                                                            "kernel"):
+            # apply-time read WITHOUT the initializer shape check, so the
+            # packed path may feed pre-packed kernels (prepack_megadepth)
+            return (self.get_variable("params", "kernel"),
+                    self.get_variable("params", "bias"))
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (self.kh, self.kw, self.in_features,
                              self.features))
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,))
         return kernel, bias
+
+
+class _BNStats(nn.Module):
+    """Parameter/stat-compatible stand-in for ``nn.BatchNorm`` (same
+    ``batch_stats/{mean,var}`` and, when affine, ``params/{scale,bias}``
+    (C,) entries) that returns the vectors for packed evaluation."""
+    ch: int
+    affine: bool
+
+    @nn.compact
+    def __call__(self):
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.ch,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.ch,), jnp.float32))
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (self.ch,))
+            bias = self.param("bias", nn.initializers.zeros, (self.ch,))
+        else:
+            scale = bias = None
+        return mean.value, var.value, scale, bias
 
 
 def _match_inception(node):
@@ -121,9 +148,26 @@ class MegaDepthHourglass(nn.Module):
     train_bn: bool = False   # True: use batch statistics + update running stats
     fuse_stage1: bool = False
     fuse_stage2_max_hw: int = 0
+    # Phase-packed evaluation (models/phasepack.py general-k machinery):
+    # every conv/bn/relu/concat/add runs in the 2x2 space-to-depth domain
+    # (4x the channels at quarter the pixels), with relayouts only at pool/
+    # upsample scale transitions.  Fixes the hourglass's ~19% MXU
+    # efficiency: the inception branch convs emit 16/32 channels and waste
+    # 7/8 of every 128-lane MXU N-tile; packed they emit 64/128
+    # (tools/ubench_megapack.py: isolated 11x11 32->16 @448x256 is 9.1x
+    # faster packed-core).  Parameter tree is IDENTICAL to the unpacked
+    # mode; pre-pack kernels at load time with ``prepack_megadepth`` to
+    # keep kernel transforms out of the per-call graph.  Eval only
+    # (running BN stats; packed batch-stat reduction would differ) —
+    # requires ``train_bn=False``.
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.packed:
+            assert not self.train_bn, "packed mode is eval-only (running BN)"
+            from vfidkr_tpu.models.phasepack import pack2, unpack2
+            return unpack2(self._run_packed(_SPEC, pack2(x), "n"))
         out = self._run(_SPEC, x, "n")
         return out
 
@@ -232,6 +276,77 @@ class MegaDepthHourglass(nn.Module):
                 total = total + y
             return total
         raise ValueError(f"unknown spec node {t}")
+
+
+    def _run_packed(self, node, xp, path):
+        """Packed-domain mirror of ``_run``: same spec traversal, same
+        param/stat names (conv params via _ConvP readers, BN via _BNStats),
+        evaluated with the phasepack general-k machinery."""
+        from vfidkr_tpu.models import phasepack as pk
+        t = node["type"]
+        if t == "seq":
+            for i, child in enumerate(node["children"]):
+                xp = self._run_packed(child, xp, f"{path}_{i}")
+            return xp
+        if t == "conv":
+            kh, kw = node["k"]
+            assert kh == kw and tuple(node["s"]) == (1, 1) \
+                and tuple(node["p"]) == (kh // 2, kw // 2), node
+            kernel, bias = _ConvP(node["out"], node["in"], kh, kw,
+                                  name=path)()
+            return pk.packed_conv_k(xp, kernel, bias, kh)
+        if t == "bn":
+            c = node["ch"]
+            mean, var, scale, bias = _BNStats(c, node["affine"],
+                                              name=path)()
+            tile = lambda v: jnp.concatenate([v] * 4)
+            y = (xp - tile(mean)) * jax.lax.rsqrt(tile(var) + 1e-5)
+            if scale is not None:
+                y = y * tile(scale) + tile(bias)
+            return y
+        if t == "relu":
+            return nn.relu(xp)
+        if t == "maxpool":
+            return pk.pack2(pk.packed_maxpool(xp))
+        if t == "avgpool":
+            return pk.pack2(pk.packed_avgpool(xp))
+        if t == "upnearest":
+            return pk.packed_upnearest(xp)
+        if t == "concat_table":
+            return [self._run_packed(c, xp, f"{path}_{i}")
+                    for i, c in enumerate(node["children"])]
+        if t == "concat":
+            outs = [self._run_packed(c, xp, f"{path}_{i}")
+                    for i, c in enumerate(node["children"])]
+            return pk.packed_concat(outs)
+        if t == "add":
+            assert isinstance(xp, (list, tuple)) and not node["children"]
+            total = xp[0]
+            for y in xp[1:]:
+                total = total + y
+            return total
+        raise ValueError(f"unknown spec node {t}")
+
+
+def prepack_megadepth(depth_scope):
+    """Pre-pack every conv kernel in a MegaDepthHourglass params subtree
+    (``params[...]["depth_net"]``) for ``packed=True`` evaluation: (k,k,
+    Cin,Cout) -> (kp,kp,4Cin,4Cout) and bias (Cout,) -> (4Cout,).  Done
+    once at load time so the per-call graphs carry no kernel transforms
+    (~0.05 ms each otherwise).  BN scopes ({scale, bias} only) pass
+    through untouched."""
+    from vfidkr_tpu.models.phasepack import pack_kernel_k
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if set(node.keys()) == {"kernel", "bias"} \
+                and getattr(node["kernel"], "ndim", 0) == 4:
+            return {"kernel": pack_kernel_k(node["kernel"]),
+                    "bias": jnp.concatenate([node["bias"]] * 4)}
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(depth_scope)
 
 
 def depth_inv_from_log_depth(log_depth):

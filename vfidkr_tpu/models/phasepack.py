@@ -120,6 +120,118 @@ def packed_conv3(xp: jax.Array, kernel: jax.Array,
     return out
 
 
+def geometry_k(k: int):
+    """Packed-cell geometry for an odd k (SAME, stride 1): with
+    r = (k-1)/2, the cell kernel is kp x kp with cell padding (pp, kp-pp)
+    and output phase ry reads the extended map at row offset ``off(ry)``
+    (ry when r is odd, 0 when even).  Derivation: tap dy decomposes as
+    dy = 2*(off(ry) - pp + cy) + qy - ry with cy in [0, kp).  kp values:
+    k=1:1, 3:2, 5:3, 7:4, 11:6 — MAC ratio 4*kp^2/k^2 = 4.0/1.78/1.44/
+    1.31/1.19, against an N-utilisation gain of 4x for thin-cout convs
+    (see tools/ubench_megapack.py for the v5e measurements: 11x11 32->16
+    @448x256 is 9.1x faster packed)."""
+    r = (k - 1) // 2
+    if r == 0:
+        return 0, 0, 1
+    pp = -(-r // 2)
+    kp = ((1 + r) // 2) - ((1 - r) // 2) + 1
+    return r, pp, kp
+
+
+def _off_phase(ry: int, r: int) -> int:
+    return ry if r % 2 == 1 else 0
+
+
+def pack_kernel_k(kernel: jax.Array) -> jax.Array:
+    """General-k analogue of ``pack_kernel3``: (k,k,Cin,Cout) ->
+    (kp,kp,4Cin,4Cout) phase-packed cell kernel, any odd k, traceable."""
+    import numpy as np
+    k = kernel.shape[0]
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    r, pp, kp = geometry_k(k)
+    # dy = 2*(off(ry) - pp + cy) + qy - ry; index = plo + r + dy into the
+    # zero-padded tap axis (out-of-window slots land in the zeros)
+    dys = np.array([[[2 * (_off_phase(ry, r) - pp + cy) + qy - ry
+                      for ry in (0, 1)] for qy in (0, 1)]
+                    for cy in range(kp)], np.int64)      # (kp, 2, 2)
+    plo = max(0, -(int(dys.min()) + r))
+    phi = max(0, int(dys.max()) - r)
+    idx = jnp.asarray(plo + r + dys, jnp.int32)
+    wp = jnp.pad(kernel, ((plo, phi), (plo, phi), (0, 0), (0, 0)))
+    a = jnp.take(wp, idx.reshape(-1), axis=0).reshape(
+        kp, 2, 2, k + plo + phi, cin, cout)              # (cy,qy,ry, kx,c,c')
+    b = jnp.take(a, idx.reshape(-1), axis=3).reshape(
+        kp, 2, 2, kp, 2, 2, cin, cout)                   # (cy,qy,ry, cx,qx,rx)
+    out = b.transpose(0, 3, 1, 4, 6, 2, 5, 7)            # (cy,cx,qy,qx,c,ry,rx,c')
+    return out.reshape(kp, kp, 4 * cin, 4 * cout)
+
+
+def packed_conv_k(xp: jax.Array, kernel: jax.Array, bias,
+                  k: int) -> jax.Array:
+    """Phase-packed Conv(k, s=1, p=k//2) on a packed (B,H2,W2,4Cin) map.
+    ``kernel``/``bias`` are either the ORIGINAL (k,k,Cin,Cout)/(Cout,)
+    params (packing traced in-graph — test path) or pre-packed
+    (kp,kp,4Cin,4Cout)/(4Cout,) from ``prepack_megadepth`` (load-time path;
+    ~0.05 ms of in-graph transform per conv otherwise)."""
+    h2, w2 = xp.shape[1], xp.shape[2]
+    r, pp, kp = geometry_k(k)
+    if kernel.shape[2] * 4 == xp.shape[3]:    # original (k,k,Cin,Cout)
+        cout = kernel.shape[3]
+        kpk = pack_kernel_k(kernel)
+        if bias is not None:
+            bias = jnp.concatenate([bias] * 4)
+    else:                           # already packed
+        cout = kernel.shape[3] // 4
+        kpk = kernel
+    dt = _compute_dt()
+    if dt is not None:
+        xp = xp.astype(dt)
+        kpk = kpk.astype(dt)
+    ext = jax.lax.conv_general_dilated(
+        xp, kpk, (1, 1), ((pp, kp - pp), (pp, kp - pp)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    blocks = []
+    for ry in (0, 1):
+        oy = _off_phase(ry, r)
+        for rx in (0, 1):
+            ox = _off_phase(rx, r)
+            q = 2 * ry + rx
+            blocks.append(ext[:, oy:oy + h2, ox:ox + w2,
+                              q * cout:(q + 1) * cout])
+    out = jnp.concatenate(blocks, axis=-1)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def packed_concat(parts) -> jax.Array:
+    """Channel concat in the packed domain: q-major blocks interleave, so
+    the packed concat reads one q-slice per part per phase (one pass over
+    the data, same as an unpacked concat)."""
+    slices = []
+    for q in range(4):
+        for p in parts:
+            c = p.shape[-1] // 4
+            slices.append(p[..., q * c:(q + 1) * c])
+    return jnp.concatenate(slices, axis=-1)
+
+
+def packed_avgpool(xp: jax.Array) -> jax.Array:
+    """nn.avg_pool(2,2) of the unpacked map == mean over the 4 phase
+    blocks; returns the UNPACKED half-resolution result."""
+    b, h2, w2, c4 = xp.shape
+    c = c4 // 4
+    return jnp.mean(xp.reshape(b, h2, w2, 4, c), axis=3)
+
+
+def packed_upnearest(xp: jax.Array) -> jax.Array:
+    """pack2(UpsamplingNearest2d(unpacked(xp))): every output phase of the
+    doubled map equals the source pixel, so the packed result is the
+    unpacked map tiled across the 4 phase blocks."""
+    u = unpack2(xp)
+    return jnp.concatenate([u] * 4, axis=-1)
+
+
 def packed_maxpool(xp: jax.Array) -> jax.Array:
     """nn.max_pool(2,2) of the unpacked map == max over the 4 phase blocks;
     returns the UNPACKED half-resolution result (B, H2, W2, C)."""
