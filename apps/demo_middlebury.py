@@ -39,6 +39,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from vfidkr_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
     from PIL import Image
     from vfidkr_tpu.models import DAIN
     from vfidkr_tpu.utils import (interpolation_error, pad_to_multiple, psnr,

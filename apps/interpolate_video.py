@@ -53,6 +53,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from vfidkr_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
     from PIL import Image
     from vfidkr_tpu.data import prefetch
     from vfidkr_tpu.models import build_model

@@ -53,6 +53,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from vfidkr_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
     from vfidkr_tpu.data import Vimeo90KDataset, prefetch, vimeo90k_splits
     from vfidkr_tpu.models import build_model
     from vfidkr_tpu.parallel import create_mesh, replicate, shard_batch
