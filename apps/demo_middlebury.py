@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--measure-time", action="store_true",
                     help="measure honest per-pair device time (compiles a "
                          "feedback scan; adds ~2-3 min of compile)")
+    from vfidkr_tpu.config import ModelConfig, add_model_flags
+    add_model_flags(ap)   # --filter-impl (slab8) / --compute-dtype / ...
     args = ap.parse_args()
 
     import jax
@@ -42,11 +44,12 @@ def main():
     from vfidkr_tpu.utils import enable_persistent_cache
     enable_persistent_cache()
     from PIL import Image
-    from vfidkr_tpu.models import DAIN
     from vfidkr_tpu.utils import (interpolation_error, pad_to_multiple, psnr,
                                   ssim, unpad)
 
-    model = DAIN(filter_impl="slab8")   # PNG-decoded frames: 8-bit grid
+    # PNG-decoded frames sit on the 8-bit grid (default --filter-impl slab8);
+    # --compute-dtype bfloat16 selects the fast-eval lane (BASELINE.md row)
+    model = ModelConfig.from_args(args, net_name="DAIN").build()
     params = None
     # one jitted function; jax.jit caches one compilation per padded shape
     fwd = jax.jit(

@@ -37,7 +37,10 @@ def main():
     ap.add_argument("--save-which", type=int, default=1,
                     help="0: blended output, 1: rectified (my_args.py default)")
     ap.add_argument("--limit", type=int, default=None,
-                    help="cap the number of eval batches")
+                    help="cap the number of eval BATCHES (of --batch-size "
+                         "pairs each), not pairs")
+    from vfidkr_tpu.config import ModelConfig, add_model_flags
+    add_model_flags(ap)   # --filter-impl (slab8) / --compute-dtype / ...
     args = ap.parse_args()
 
     import jax
@@ -45,10 +48,12 @@ def main():
     from vfidkr_tpu.utils import enable_persistent_cache
     enable_persistent_cache()
     from vfidkr_tpu.data import Vimeo90KDataset, prefetch, vimeo90k_splits
-    from vfidkr_tpu.models import DAIN
-    from vfidkr_tpu.utils import pad_to_multiple, psnr, ssim, unpad
+    from vfidkr_tpu.utils import (pad_to_multiple, psnr_per_image,
+                                  ssim_per_image, unpad)
 
-    model = DAIN(filter_impl="slab8")   # PNG-decoded frames: 8-bit grid
+    # PNG-decoded frames sit on the 8-bit grid (default --filter-impl slab8);
+    # --compute-dtype bfloat16 selects the fast-eval lane (BASELINE.md row)
+    model = ModelConfig.from_args(args, net_name="DAIN").build()
     _, test_paths = vimeo90k_splits(args.dataset_path)
     ds = Vimeo90KDataset(args.dataset_path, test_paths, args.batch_size,
                          augment=False)
@@ -82,37 +87,54 @@ def main():
         x1p, _ = pad_to_multiple(x1)
         out = model.apply(params, x0p, x1p)["outputs"][which]
         out = jnp.clip(unpad(out, pads), 0.0, 1.0)
-        return (psnr(jnp.round(out * 255.0), jnp.round(y * 255.0)),
-                ssim(out, y))
+        return (psnr_per_image(jnp.round(out * 255.0), jnp.round(y * 255.0)),
+                ssim_per_image(out, y))
 
-    n_batches = ds.steps_per_epoch() if args.limit is None else args.limit
+    B = args.batch_size
+    n_batches = (args.limit if args.limit is not None
+                 else -(-len(ds.paths) // B))   # ceil: incl. remainder batch
     psnrs, ssims = [], []
     # warm the jit outside the timed loop (the reference protocol times
     # per-pair work after model build, demo_test_ourdata.py:251-333; the
     # one-time XLA compile is minutes and would swamp a short sweep)
-    z = jnp.zeros((args.batch_size, 256, 448, 3), jnp.float32)
+    z = jnp.zeros((B, 256, 448, 3), jnp.float32)
     jax.block_until_ready(step(params, z, z, z))
+
+    def batches_with_remainder():
+        # sequential=True stops before a partial batch; the reference
+        # protocol covers the FULL split (demo_test_ourdata.py:244-248), so
+        # pad the trailing len%B pairs to a full batch by repeating the last
+        # pair (jit shape reuse) and yield a validity count to mask with.
+        yield from ((b, B) for b in ds.batches(sequential=True))
+        rem = len(ds.paths) % B
+        if rem:
+            n = len(ds.paths)
+            idxs = list(range(n - rem, n)) + [n - 1] * (B - rem)
+            yield ds._make_batch(idxs), rem
+
+    done = 0
     t0 = time.time()
-    for batch in prefetch(ds.batches(sequential=True), 2):
-        if len(psnrs) >= n_batches:
+    for batch, valid in prefetch(batches_with_remainder(), 2):
+        if done >= n_batches:
             break
         p, s = step(params, jnp.asarray(batch["x0"]),
                     jnp.asarray(batch["x1"]), jnp.asarray(batch["y"]))
         # keep metrics on device — a float() here would cost a ~35-40 ms
         # tunnel round trip PER BATCH; everything syncs once after the loop
-        psnrs.append(p)
-        ssims.append(s)
-        if len(psnrs) % 200 == 0:
-            print(f"[{len(psnrs)}/{n_batches}]", file=sys.stderr)
-    psnrs = [float(p) for p in psnrs]
-    ssims = [float(s) for s in ssims]
+        psnrs.append(p[:valid])
+        ssims.append(s[:valid])
+        done += 1
+        if done % 200 == 0:
+            print(f"[{done}/{n_batches}]", file=sys.stderr)
+    psnrs = np.concatenate([np.asarray(p) for p in psnrs])
+    ssims = np.concatenate([np.asarray(s) for s in ssims])
     dt = time.time() - t0
 
     result = {
         "avg_psnr": float(np.mean(psnrs)),
         "avg_ssim": float(np.mean(ssims)),
-        "pairs": len(psnrs) * args.batch_size,
-        "pairs_per_sec": len(psnrs) * args.batch_size / dt,
+        "pairs": int(psnrs.shape[0]),
+        "pairs_per_sec": psnrs.shape[0] / dt,
     }
     print(json.dumps(result))
 

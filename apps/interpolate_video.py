@@ -1,5 +1,8 @@
 #!/usr/bin/env python
-"""Streaming video interpolation — TPU re-design of ``colab_interpolate.py``.
+"""Streaming video interpolation — TPU re-design of ``colab_interpolate.py``
+plus the notebook's ffmpeg video front/back end (``Colab_DAIN.ipynb`` drives
+ffmpeg extract -> colab_interpolate.py -> ffmpeg re-encode as three manual
+steps; here one command covers video file -> N x-interpolated video file).
 
 The reference processes one frame pair per model call with a full
 GPU->host->PNG round trip per output frame (:64-156) — the throughput
@@ -7,13 +10,18 @@ bottleneck SURVEY.md §3.5 calls out.  Here the model is jitted once per
 resolution bucket, decode/encode run in host threads, and frame pairs stream
 through the device back-to-back.
 
-Input: a directory of numbered frames (00001.png, ...).  Output naming keeps
-the reference convention ``{frame:0Nd}{offset:03d}.png`` with offset 000 the
-pass-through original and k=1..N-1 the interpolated steps.
+Input: a directory of numbered frames (00001.png, ...) via --frames-dir, or
+a video file via --video-in (decoded in a streaming fashion, no frame dump).
+Output: --out-dir keeps the reference convention
+``{frame:0Nd}{offset:03d}.png`` with offset 000 the pass-through original
+and k=1..N-1 the interpolated steps; --video-out encodes straight to a video
+at fps_in / time_step (both sinks may be used together).
 
 Usage:
   python apps/interpolate_video.py --frames-dir in/ --out-dir out/ \
       --time-step 0.5 [--model DAIN|DAIN_slowmotion] [--checkpoint ...]
+  python apps/interpolate_video.py --video-in clip.mp4 --video-out out.mp4 \
+      --time-step 0.25 --model DAIN_slowmotion
 """
 
 from __future__ import annotations
@@ -31,19 +39,30 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames-dir", required=True)
-    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--frames-dir", default=None,
+                    help="input: directory of numbered frames")
+    ap.add_argument("--video-in", default=None,
+                    help="input: video file (streamed via OpenCV/FFmpeg)")
+    ap.add_argument("--out-dir", default=None,
+                    help="output: PNG frames, reference naming convention")
+    ap.add_argument("--video-out", default=None,
+                    help="output: video file at fps_in / time_step")
+    ap.add_argument("--fps-in", type=float, default=None,
+                    help="input frame rate for --video-out (default: from "
+                         "--video-in metadata, else 30)")
+    ap.add_argument("--fourcc", default="mp4v",
+                    help="--video-out codec fourcc (OpenCV VideoWriter)")
     ap.add_argument("--time-step", type=float, default=0.5)
     ap.add_argument("--model", default="DAIN",
                     choices=["DAIN", "DAIN_slowmotion"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--torch-checkpoint", default=None)
     ap.add_argument("--save-which", type=int, default=1)
-    ap.add_argument("--depth-impl", default="packed",
-                    choices=["chained", "packed"],
-                    help="DAIN_slowmotion MegaDepth evaluation: 'packed' "
-                         "(phase-packed, ~1.4x faster, exact to conv "
-                         "rounding) or the canonical 'chained'")
+    from vfidkr_tpu.config import ModelConfig, add_model_flags
+    # packed depth: phase-packed hourglass eval (models/phasepack.py) —
+    # 16.4 -> 11.9 ms on the depth net, exact to conv rounding and parity-
+    # covered by the QUICK suite; kernels are pre-packed after load below
+    add_model_flags(ap, depth_impl="packed")
     ap.add_argument("--spatial-shards", type=int, default=1,
                     help="row-shard frames over N devices with halo exchange"
                          " (frames N x taller than one chip's HBM fit)")
@@ -57,7 +76,6 @@ def main():
     enable_persistent_cache()
     from PIL import Image
     from vfidkr_tpu.data import prefetch
-    from vfidkr_tpu.models import build_model
     from vfidkr_tpu.utils import pad_to_multiple, unpad
 
     frames = sorted(f for f in os.listdir(args.frames_dir)
@@ -68,17 +86,8 @@ def main():
     if args.model == "DAIN" and args.time_step != 0.5:
         ap.error("DAIN supports --time-step 0.5 only (networks/DAIN.py:36); "
                  "use --model DAIN_slowmotion for other rates")
-    if args.model == "DAIN_slowmotion":
-        # packed depth: phase-packed hourglass eval (models/phasepack.py) —
-        # 16.3 -> 11.9 ms on the depth net, exact to conv rounding; kernels
-        # are pre-packed after checkpoint load below
-        kwargs = {"timestep": args.time_step,
-                  "depth_impl": args.depth_impl}
-    else:
-        kwargs = {}
-    kwargs["filter_impl"] = "slab8"   # PNG-decoded frames are on the
-                                      # 8-bit grid (exact fast path)
-    model = build_model(args.model, **kwargs)
+    model = ModelConfig.from_args(
+        args, net_name=args.model, time_step=args.time_step).build()
 
     def load(name):
         with Image.open(os.path.join(args.frames_dir, name)) as im:

@@ -55,8 +55,8 @@ def main():
     import jax.numpy as jnp
     from vfidkr_tpu.utils import enable_persistent_cache
     enable_persistent_cache()
+    from vfidkr_tpu.config import ModelConfig
     from vfidkr_tpu.data import Vimeo90KDataset, prefetch, vimeo90k_splits
-    from vfidkr_tpu.models import build_model
     from vfidkr_tpu.parallel import create_mesh, replicate, shard_batch
     from vfidkr_tpu.training import (TrainConfig, create_train_state,
                                      eval_step, plateau_step, train_step)
@@ -84,7 +84,9 @@ def main():
         batch_size=args.batch_size, num_epochs=args.num_epochs,
         factor=args.factor, patience=args.patience)
 
-    model = build_model(args.net_name)
+    # training keeps the ModelConfig defaults: filter_impl="slab" (exact on
+    # any f32 input) and f32 convs (the reference training precision)
+    model = ModelConfig(net_name=args.net_name).build()
     train_paths, test_paths = vimeo90k_splits(args.dataset_path)
     train_ds = Vimeo90KDataset(args.dataset_path, train_paths,
                                args.batch_size, augment=True, seed=args.seed)

@@ -117,13 +117,16 @@ def test_megadepth_fusion_variants_share_params_and_outputs(rng):
                                    rtol=2e-5, atol=2e-6)
 
 
-@pytest.mark.slow
 def test_megadepth_packed_matches_unpacked(rng):
     """Phase-packed hourglass evaluation (packed=True, models/phasepack.py
     general-k machinery) must share the exact param tree with the canonical
     mode and reproduce its output to f32 rounding — both with the original
     params (in-graph kernel packing) and with ``prepack_megadepth``'d
-    params (the load-time path inference drivers use)."""
+    params (the load-time path inference drivers use).
+
+    Deliberately in the QUICK suite (~20 s warm): apps/interpolate_video.py
+    defaults to depth_impl='packed', so the default driver configuration
+    must be parity-covered on every test run (round-3 advisor)."""
     from vfidkr_tpu.models.megadepth import prepack_megadepth
 
     x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
@@ -253,3 +256,43 @@ def test_dain_slowmotion_packed_depth_matches(rng):
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(rp), np.asarray(r0),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_dain_slowmotion_scan_steps_match_unrolled_1frame(rng):
+    """steps_impl='scan' (one traced step, the 8x compile-blow-up fix) must
+    share the unrolled param tree and reproduce its outputs bit-exactly.
+    Quick-suite case: t=0.5 -> a length-1 scan exercises the nn.scan
+    machinery cheaply; the multi-step case is the @slow test below."""
+    i0 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    i2 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    m0 = DAINSlowMotion(timestep=0.5)
+    ms = DAINSlowMotion(timestep=0.5, steps_impl="scan")
+    v = jax.jit(m0.init)(jax.random.PRNGKey(0), i0, i2)
+    vs = jax.jit(ms.init)(jax.random.PRNGKey(0), i0, i2)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        jnp.array_equal, v, vs))
+    r0 = jax.jit(m0.apply)(v, i0, i2)
+    rs = jax.jit(ms.apply)(v, i0, i2)
+    for a, b in zip(r0["outputs"][1], rs["outputs"][1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(r0["offsets"], rs["offsets"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_dain_slowmotion_scan_steps_match_unrolled_4x(rng):
+    """Multi-step scan parity at t=0.25 (3 frames): outputs and final-step
+    offsets must match the unrolled loop bit-exactly (same ops, same order,
+    only the tracing strategy differs)."""
+    i0 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    i2 = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    m0 = DAINSlowMotion(timestep=0.25)
+    ms = DAINSlowMotion(timestep=0.25, steps_impl="scan")
+    v = jax.jit(m0.init)(jax.random.PRNGKey(0), i0, i2)
+    r0 = jax.jit(m0.apply)(v, i0, i2)
+    rs = jax.jit(ms.apply)(v, i0, i2)
+    outs0, rects0 = r0["outputs"]
+    outss, rectss = rs["outputs"]
+    assert len(outss) == 3 and len(rectss) == 3
+    for a, b in zip(outs0 + rects0, outss + rectss):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -101,6 +101,10 @@ def test_large_frame_chunked_paths_match(rng, monkeypatch):
 
     monkeypatch.setattr(F, "_GATHER_CHUNK", 32)     # 99 px -> 4 chunks
     monkeypatch.setattr(F, "_VMAP_GATHER_PX", 10)   # force lax.map batching
+    # filter_interpolate is module-level jitted; identical shapes/statics
+    # would hit the jit cache and never re-trace through the monkeypatched
+    # thresholds (round-3 advisor: the assertions below were vacuous).
+    jax.clear_caches()
     for impl in ("block", "gather"):
         got = np.asarray(filter_interpolate(images, flows, filts, impl=impl))
         np.testing.assert_array_equal(got, plain[impl])

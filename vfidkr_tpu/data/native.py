@@ -47,7 +47,14 @@ def load_native() -> Optional[ctypes.CDLL]:
         # an explicit OMP_NUM_THREADS if the user set one.
         if "OMP_NUM_THREADS" not in os.environ:
             try:
-                lib.omp_set_num_threads(ctypes.c_int(os.cpu_count() or 1))
+                # sched_getaffinity sees cgroup/affinity limits that
+                # os.cpu_count() (host logical CPUs) does not — the exact
+                # container scenario the measurement above came from.
+                try:
+                    n_cpus = len(os.sched_getaffinity(0))
+                except (AttributeError, OSError):
+                    n_cpus = os.cpu_count() or 1
+                lib.omp_set_num_threads(ctypes.c_int(n_cpus))
             except AttributeError:
                 pass
         _lib = lib

@@ -176,6 +176,16 @@ class DAINSlowMotion(nn.Module):
     depth_impl: str = "chained"  # "packed": phase-packed hourglass eval
                                  # (models/phasepack.py general-k; eval-only,
                                  # pre-pack kernels with prepack_megadepth)
+    steps_impl: str = "unroll"   # "scan": nn.scan over the time steps — the
+                                 # step subgraph is traced/compiled ONCE
+                                 # instead of num_frames times, which fixes
+                                 # the 8x XLA-compile blow-up (the unrolled
+                                 # packed 8x graph exceeded a 10-min compile
+                                 # window, BASELINE.md).  Unlike the
+                                 # measured-dead step BATCHING, scan keeps
+                                 # every oversize lax.cond per-step at
+                                 # runtime, so adaptivity (and values) are
+                                 # identical to the unrolled loop.
 
     def setup(self):
         fs2 = self.filter_size ** 2
@@ -242,12 +252,20 @@ class DAINSlowMotion(nn.Module):
         frame_pair = jnp.concatenate([i0, i2], axis=0)
         depth_inv_pair = jnp.concatenate([depth_inv0, depth_inv2], axis=0)
 
-        outputs, rectified_outputs, offsets = [], [], []
-        for k, t in enumerate(time_offsets):
-            f01 = upsample_bilinear(raw_fwd * (self.div_flow * t), 4)
-            t_rev = time_offsets[::-1][k]
-            f10 = upsample_bilinear(raw_bwd * (self.div_flow * t_rev), 4)
+        # Per-step scaled + x4-upsampled bidirectional flows, computed with
+        # PYTHON-float time constants in both modes (a traced t here would
+        # block XLA constant folding and perturb flow values at the 1e-6
+        # level, which the 7-conv rectifier amplifies ~1000x at random init
+        # — measured; keeping the scaling outside the scan keeps scan and
+        # unroll bit-identical).
+        f01s = [upsample_bilinear(raw_fwd * (self.div_flow * t), 4)
+                for t in time_offsets]
+        f10s = [upsample_bilinear(raw_bwd * (self.div_flow * tr), 4)
+                for tr in time_offsets[::-1]]
 
+        def synth_step(mdl, f01, f10, t):
+            """One time step (DAIN_slowmotion.py:167-183); ``t`` may be a
+            Python float (unroll) or a traced scalar (scan)."""
             # direction-paired projection + warps: batching the two
             # directions into single op calls amortises fixed kernel costs
             # (same trick as DAIN.__call__)
@@ -260,29 +278,52 @@ class DAINSlowMotion(nn.Module):
             # the lane-gather Pallas kernel on TPU
             ctx_w = filter_interpolate(
                 ctx_pair, jax.lax.stop_gradient(offs),
-                jax.lax.stop_gradient(filt_pair), self.filter_size,
-                impl=self.filter_impl)
+                jax.lax.stop_gradient(filt_pair), mdl.filter_size,
+                impl=mdl.filter_impl)
             ctx0_w, ctx2_w = ctx_w[:b], ctx_w[b:]
 
             refs = filter_interpolate(frame_pair, offs, filt_pair,
-                                      self.filter_size,
-                                      impl=self.filter_impl)
+                                      mdl.filter_size,
+                                      impl=mdl.filter_impl)
             ref0, ref2 = refs[:b], refs[b:]
             out = ref0 * (1.0 - t) + ref2 * t    # time-weighted fusion (:335)
 
             rectify_input = jnp.concatenate(
                 [out, ref0, ref2, off0, off1, filt0, filt1, ctx0_w, ctx2_w],
                 axis=-1)
-            with conv_compute_dtype(self.compute_dtype):
-                rect = (self.rectify_net(rectify_input).astype(jnp.float32)
+            with conv_compute_dtype(mdl.compute_dtype):
+                rect = (mdl.rectify_net(rectify_input).astype(jnp.float32)
                         + out)
+            return out, rect, off0, off1
 
-            outputs.append(out)
-            rectified_outputs.append(rect)
-            offsets.append([off0, off1])
+        if self.steps_impl == "scan" and not self.is_initializing():
+            # one traced step for ALL time offsets; params broadcast.  (Init
+            # still takes the unrolled path below so the param tree is
+            # created identically in both modes.)
+            ts = jnp.asarray(time_offsets, jnp.float32)
+            scanned = nn.scan(
+                lambda mdl, carry, xs: (carry,
+                                        synth_step(mdl, xs[0], xs[1], xs[2])),
+                variable_broadcast=["params", "batch_stats"],
+                split_rngs={"params": False})
+            _, ys = scanned(self, (),
+                            (jnp.stack(f01s), jnp.stack(f10s), ts))
+            outs_s, rects_s, off0_s, off1_s = ys
+            outputs = [outs_s[k] for k in range(self.num_frames)]
+            rectified_outputs = [rects_s[k] for k in range(self.num_frames)]
+            last_offsets = [off0_s[-1], off1_s[-1]]
+        else:
+            outputs, rectified_outputs = [], []
+            last_offsets = None
+            for k, t in enumerate(time_offsets):
+                out, rect, off0, off1 = synth_step(
+                    self, f01s[k], f10s[k], t)
+                outputs.append(out)
+                rectified_outputs.append(rect)
+                last_offsets = [off0, off1]
 
         return {
             "outputs": [outputs, rectified_outputs],
-            "offsets": offsets[-1],
+            "offsets": last_offsets,
             "filters": [filt0, filt1],
         }

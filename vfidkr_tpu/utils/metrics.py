@@ -40,6 +40,14 @@ def psnr(pred_255, gt_255):
     return jnp.mean(20.0 * jnp.log10(255.0 / jnp.sqrt(mse)))
 
 
+def psnr_per_image(pred_255, gt_255):
+    """Per-image PSNR vector (B,) — same formula as :func:`psnr`, unreduced,
+    so callers can mask padded batch entries (eval drivers)."""
+    diff = pred_255.astype(jnp.float32) - gt_255.astype(jnp.float32)
+    mse = jnp.mean(diff * diff, axis=(1, 2, 3))
+    return 20.0 * jnp.log10(255.0 / jnp.sqrt(mse))
+
+
 def _gauss_kernel_1d(size=11, sigma=1.5):
     coords = np.arange(size, dtype=np.float32) - size // 2
     g = np.exp(-(coords ** 2) / (2 * sigma ** 2))
@@ -68,9 +76,11 @@ def _gaussian_filter(x, win):
 
 
 @functools.partial(jax.jit, static_argnames=("win_size",))
-def ssim(x, y, data_range=1.0, win_size=11, win_sigma=1.5,
-         k1=0.01, k2=0.03):
-    """(B,H,W,C) float images -> scalar mean SSIM (reference formula)."""
+def ssim_per_image(x, y, data_range=1.0, win_size=11, win_sigma=1.5,
+                   k1=0.01, k2=0.03):
+    """(B,H,W,C) float images -> per-image SSIM vector (B,) (reference
+    formula, reduced over H/W/C only — lets eval drivers mask padded batch
+    entries)."""
     win = _gauss_kernel_1d(win_size, win_sigma)
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
@@ -86,4 +96,9 @@ def ssim(x, y, data_range=1.0, win_size=11, win_sigma=1.5,
 
     cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
     ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
-    return jnp.mean(ssim_map)
+    return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
+def ssim(x, y, **kw):
+    """(B,H,W,C) float images -> scalar mean SSIM (reference formula)."""
+    return jnp.mean(ssim_per_image(x, y, **kw))
