@@ -78,10 +78,44 @@ def main():
     from vfidkr_tpu.data import prefetch
     from vfidkr_tpu.utils import pad_to_multiple, unpad
 
-    frames = sorted(f for f in os.listdir(args.frames_dir)
-                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
-    assert len(frames) >= 2, "need at least two frames"
-    os.makedirs(args.out_dir, exist_ok=True)
+    if (args.video_in is None) == (args.frames_dir is None):
+        ap.error("give exactly one input: --frames-dir or --video-in")
+    if args.out_dir is None and args.video_out is None:
+        ap.error("give at least one output: --out-dir and/or --video-out")
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+
+    fps_in = args.fps_in
+    if args.frames_dir:
+        frames = sorted(f for f in os.listdir(args.frames_dir)
+                        if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        assert len(frames) >= 2, "need at least two frames"
+
+        def frame_source():
+            """Yields (1,H,W,3) float32 RGB in [0,1], on the 8-bit grid."""
+            for name in frames:
+                with Image.open(os.path.join(args.frames_dir, name)) as im:
+                    yield np.asarray(im.convert("RGB"),
+                                     np.float32)[None] / 255.0
+    else:
+        # video front end (the notebook's `ffmpeg -i in.mp4 %05d.png`
+        # extract step, Colab_DAIN.ipynb) — streamed via OpenCV's bundled
+        # FFmpeg, no intermediate frame dump
+        import cv2
+        cap = cv2.VideoCapture(args.video_in)
+        if not cap.isOpened():
+            ap.error(f"cannot open --video-in {args.video_in}")
+        if fps_in is None:
+            fps_in = cap.get(cv2.CAP_PROP_FPS) or None
+
+        def frame_source():
+            while True:
+                ok, bgr = cap.read()
+                if not ok:
+                    break
+                yield bgr[None, :, :, ::-1].astype(np.float32) / 255.0
+            cap.release()
+    fps_in = fps_in or 30.0
 
     if args.model == "DAIN" and args.time_step != 0.5:
         ap.error("DAIN supports --time-step 0.5 only (networks/DAIN.py:36); "
@@ -89,14 +123,15 @@ def main():
     model = ModelConfig.from_args(
         args, net_name=args.model, time_step=args.time_step).build()
 
-    def load(name):
-        with Image.open(os.path.join(args.frames_dir, name)) as im:
-            return np.asarray(im.convert("RGB"), np.float32)[None] / 255.0
+    source = frame_source()
+    try:
+        first = next(source)
+    except StopIteration:
+        ap.error("input has no frames")
 
     def frame_pairs():
-        prev = load(frames[0])
-        for nxt_name in frames[1:]:
-            nxt = load(nxt_name)
+        prev = first
+        for nxt in source:
             yield prev, nxt
             prev = nxt
 
@@ -108,7 +143,6 @@ def main():
     min_pad = 32 if args.spatial_shards == 1 else pad_mult // 2
     pad_to = lambda x: pad_to_multiple(x, multiple=pad_mult, min_pad=min_pad)
 
-    first = load(frames[0])
     x0p, pads = pad_to(jnp.asarray(first))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0p, x0p)
 
@@ -153,9 +187,32 @@ def main():
     else:
         interp = jax.jit(fwd)
 
+    def to_u8(img01):
+        return np.asarray(np.round(img01[0] * 255.0), np.uint8)
+
     def save(path, img01):
-        Image.fromarray(
-            np.asarray(np.round(img01[0] * 255.0), np.uint8)).save(path)
+        Image.fromarray(to_u8(img01)).save(path)
+
+    # video back end (the notebook's `ffmpeg -r fps/time_step -i %05d%03d.png
+    # out.mp4` re-encode step): one ordered writer at fps_in / time_step,
+    # fed in stream order from the main loop
+    writer = None
+    if args.video_out:
+        import cv2
+        fps_out = fps_in / args.time_step
+
+        def emit_video(img01):
+            nonlocal writer
+            u8 = to_u8(img01)
+            if writer is None:
+                writer = cv2.VideoWriter(
+                    args.video_out, cv2.VideoWriter_fourcc(*args.fourcc),
+                    fps_out, (u8.shape[1], u8.shape[0]))
+                assert writer.isOpened(), \
+                    f"VideoWriter failed for {args.video_out} ({args.fourcc})"
+            writer.write(u8[:, :, ::-1])    # RGB -> BGR
+    else:
+        emit_video = lambda img01: None
 
     # decode runs ahead via prefetch(); PNG encode runs behind in a worker
     # pool, so the device streams pairs back-to-back (the reference
@@ -164,30 +221,40 @@ def main():
     pool = ThreadPoolExecutor(max_workers=4)
     pending = []
 
+    def emit(idx, offset, img01):
+        if args.out_dir:
+            pending.append(pool.submit(
+                save, os.path.join(args.out_dir,
+                                   f"{idx:05d}{offset:03d}.png"), img01))
+        emit_video(img01)
+
     t0 = time.time()
     produced = 0
+    n_in = 1
+    last = first
     for idx, (a, b) in enumerate(prefetch(frame_pairs(), 2), start=1):
+        n_in += 1
+        last = b
         ap_, pads = pad_to(jnp.asarray(a))
         bp_, _ = pad_to(jnp.asarray(b))
         outs = interp(variables, ap_, bp_)
-        pending.append(pool.submit(
-            save, os.path.join(args.out_dir, f"{idx:05d}000.png"), a))
+        emit(idx, 0, a)
         for k, o in enumerate(outs, start=1):
-            img = np.asarray(unpad(o, pads))
-            pending.append(pool.submit(
-                save, os.path.join(args.out_dir, f"{idx:05d}{k:03d}.png"), img))
+            emit(idx, k, np.asarray(unpad(o, pads)))
             produced += 1
-    pending.append(pool.submit(
-        save, os.path.join(args.out_dir, f"{len(frames):05d}000.png"),
-        load(frames[-1])))
+    emit(n_in, 0, last)
     for f in pending:
         f.result()
     pool.shutdown()
+    if writer is not None:
+        writer.release()
     dt = time.time() - t0
 
     print(json.dumps({
-        "input_frames": len(frames),
+        "input_frames": n_in,
         "interpolated_frames": produced,
+        "fps_in": fps_in,
+        "fps_out": (fps_in / args.time_step) if args.video_out else None,
         "wall_s": dt,
         "interp_frames_per_sec": produced / dt if dt > 0 else None,
     }))

@@ -49,6 +49,13 @@ def main():
     ap.add_argument("--val-batches", type=int, default=None)
     ap.add_argument("--pretrained", default=None,
                     help="orbax params dir or torch .pth for fine-tuning")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest epoch checkpoint in "
+                         "--save-path: restores the FULL train state "
+                         "(params, Adamax state, plateau scheduler), appends "
+                         "to log.txt, and keeps the best-val watermark "
+                         "(the reference's --pretrained restart flow, "
+                         "train.py:51-57, minus its lost optimizer state)")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +74,8 @@ def main():
     with open(os.path.join(args.save_path, "args.txt"), "w") as f:
         json.dump(vars(args), f, indent=2)
     log_path = os.path.join(args.save_path, "log.txt")
-    open(log_path, "w").close()
+    if not args.resume:
+        open(log_path, "w").close()
 
     # tensorboard scalars (Train/Loss, Test/Loss, Test/PSNR — the reference's
     # tensorboardX tags, train.py:209,274-275); optional
@@ -117,17 +125,34 @@ def main():
                 os.path.abspath(args.pretrained), jax.device_get(state))
             state = restored
 
+    ckpt = CheckpointManager(args.save_path)
+    best_val = float("inf")
+    rows = []
+    start_epoch = 0
+    if args.resume:
+        last = ckpt.latest_epoch()
+        if last is None:
+            print("--resume: no epoch checkpoint found, starting fresh")
+        else:
+            state = ckpt.restore(f"epoch{last}", jax.device_get(state))
+            start_epoch = last + 1
+            if os.path.exists(log_path) and os.path.getsize(log_path) > 0:
+                prior = np.loadtxt(log_path, delimiter=",", ndmin=2)
+                rows = [list(r) for r in prior if int(r[0]) <= last]
+                if rows:
+                    best_val = min(r[3] for r in rows)
+            print(f"resumed from epoch{last} (next epoch {start_epoch}, "
+                  f"best val {best_val:.5f}, lr scale "
+                  f"{float(state.plateau.scale):.4f})")
+
     state = replicate(state, mesh)
     jit_train = jax.jit(lambda s, b: train_step(model, tx, s, b, config))
     jit_eval = jax.jit(lambda s, b: eval_step(model, s, b, config))
 
-    ckpt = CheckpointManager(args.save_path)
     steps = args.steps_per_epoch or train_ds.steps_per_epoch()
     val_steps = args.val_batches or val_ds.steps_per_epoch()
-    best_val = float("inf")
-    rows = []
 
-    for epoch in range(args.num_epochs):
+    for epoch in range(start_epoch, args.num_epochs):
         t0 = time.time()
         train_losses = []
         it = prefetch(train_ds.batches(steps), 2)
