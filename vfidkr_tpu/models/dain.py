@@ -54,8 +54,15 @@ class DAIN(nn.Module):
                                  # Pallas kernel w/ exact lax.cond fallback
                                  # (~4x faster than "block" on v5e; see
                                  # ops/pallas/filter_bandmm_kernel.py)
-    compute_dtype: str = "float32"   # conv compute dtype ("bfloat16" for
-                                     # the fast eval mode; ops stay f32)
+    compute_dtype: str = "float32"   # fast-eval lane: "bfloat16" runs the
+                                     # kernel-estimation trunk/heads and the
+                                     # rectifier convs in bf16.  PWC-Net and
+                                     # all ops STAY f32: per-stage v5e
+                                     # measurement (tools/ubench_bf16.py)
+                                     # shows bf16 1.32x on MonoNet and 1.06x
+                                     # on the rectifier but 0.87x (a LOSS) on
+                                     # PWC and ~1.0x on MegaDepth, so the
+                                     # lane applies bf16 only where it wins.
     corr_impl: str = "slices"    # PWC cost-volume formulation
     dense_impl: str = "concat"   # PWC decode dense-block evaluation
                                  # ("split" = split-weight, no concat
@@ -120,9 +127,11 @@ class DAIN(nn.Module):
             if self.kernel_impl == "packed":
                 filt0, filt1 = unpack2(filt0), unpack2(filt1)
 
-            raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
-            raw_fwd = raw_fwd.astype(jnp.float32)
-            raw_bwd = raw_bwd.astype(jnp.float32)
+        # PWC always runs f32: bf16 convs measured 0.87x HERE (the pyramid's
+        # small-channel convs and the warp/corr casts lose more than the MXU
+        # saves — tools/ubench_bf16.py), and f32 flows keep the one-hot
+        # projection/interpolation paths at full precision.
+        raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
 
         t = self.timestep
         flows4 = upsample_bilinear(
@@ -165,8 +174,11 @@ class DAINSlowMotion(nn.Module):
                                  # 196-ch context warps dispatch to the
                                  # big-C lane-gather kernel (exact any-f32,
                                  # ops/pallas/ctx_gather_kernel.py)
-    compute_dtype: str = "float32"   # conv compute dtype ("bfloat16" for
-                                     # the fast eval mode; ops stay f32)
+    compute_dtype: str = "float32"   # fast-eval lane: bf16 convs for the
+                                     # trunk/heads, ctx net and rectifier;
+                                     # PWC and MegaDepth stay f32 (bf16
+                                     # measured 0.87x / ~1.0x there — see
+                                     # DAIN.compute_dtype)
     corr_impl: str = "slices"    # PWC cost-volume formulation
     dense_impl: str = "concat"   # PWC decode dense-block evaluation
     kernel_impl: str = "chained"  # MonoNet5/head evaluation (see DAIN;
@@ -233,9 +245,8 @@ class DAINSlowMotion(nn.Module):
             if self.kernel_impl == "packed":
                 filt0, filt1 = unpack2(filt0), unpack2(filt1)
 
-            raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
-            raw_fwd = raw_fwd.astype(jnp.float32)
-            raw_bwd = raw_bwd.astype(jnp.float32)
+        # PWC always f32 (bf16 measured a loss here; see DAIN.__call__)
+        raw_fwd, raw_bwd = self.flownets.bidirectional(i0, i2)
         hole_fill = not train
 
         # The time steps are independent given the shared flows/kernels/
