@@ -180,14 +180,25 @@ def bench_bf16_accuracy():
             params = dict(params)
             params["params"] = jax.tree_util.tree_map(
                 lambda x: x * 0.5, params["params"])
-        outs[dt] = np.asarray(jax.jit(
+        raw = np.asarray(jax.jit(
             lambda p, a, b: model.apply(p, a, b)["outputs"][1]
         )(params, i0, i2))
+        # the delivered output: every eval/demo driver clamps to [0,1] and
+        # quantises to uint8 before writing (demo_MiddleBury.py:318-320
+        # analog), so bound the CLAMPED image — unclamped random-init
+        # rectifier outputs overshoot [0,1] by several units, which makes a
+        # raw bound meaningless
+        outs[dt] = np.clip(raw, 0.0, 1.0)
+        outs[dt + "_raw"] = raw
     dev = float(np.abs(outs["bfloat16"] - outs["float32"]).max())
+    dev_raw = float(
+        np.abs(outs["bfloat16_raw"] - outs["float32_raw"]).max())
     p32 = float(psnr(jnp.asarray(outs["float32"]) * 255.0, gt * 255.0))
     p16 = float(psnr(jnp.asarray(outs["bfloat16"]) * 255.0, gt * 255.0))
     return {"metric": "bf16_eval_lane_accuracy_448x256",
-            "value": round(dev, 6), "unit": "max |bf16-f32| model output",
+            "value": round(dev, 6),
+            "unit": "max |bf16-f32| clamped [0,1] output",
+            "raw_dev": round(dev_raw, 6),
             "psnr_f32_db": round(p32, 4), "psnr_bf16_db": round(p16, 4),
             "psnr_delta_db": round(p16 - p32, 4),
             "note": "random-converted-init weights; no trained ckpt ships"}
