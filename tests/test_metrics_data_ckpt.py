@@ -162,3 +162,70 @@ def test_native_augment_parity(rng):
         nat._lib = lib
     for k in ("x0", "x1", "y"):
         np.testing.assert_array_equal(out[k], ref[k])
+
+
+def test_checkpoint_manager_full_trainstate_roundtrip(tmp_path, rng):
+    """CheckpointManager (training/checkpoint.py) must roundtrip the FULL
+    TrainState — params, Adamax moments per LR group, step counter, and
+    plateau scheduler fields (scale/best/num_bad_epochs/cooldown) — and keep
+    the reference's epoch layout (epoch<k> dir, previous epoch deleted,
+    best on val; train.py:211-218,286-289).  This is the unit contract the
+    driver's --resume flow (apps/train.py) relies on."""
+    import jax
+    import flax.linen as nn
+    from vfidkr_tpu.training import (TrainConfig, create_train_state,
+                                     plateau_step)
+    from vfidkr_tpu.training.checkpoint import CheckpointManager
+
+    class Toy(nn.Module):
+        # submodule names land in the real optimizer groups (filter/flow/
+        # rectify) plus one frozen module, so opt_state has the
+        # multi_transform structure the driver checkpoints
+        @nn.compact
+        def __call__(self, x0, x1, train=False):
+            a = nn.Dense(3, name="filter_net")(x0)
+            b = nn.Dense(3, name="flownets")(x1)
+            c = nn.Dense(3, name="rectify_net")(a + b)
+            return nn.Dense(3, name="ctx_net")(c)
+
+    batch = {"x0": jnp.asarray(rng.rand(2, 4, 5, 3), jnp.float32),
+             "x1": jnp.asarray(rng.rand(2, 4, 5, 3), jnp.float32)}
+    model = Toy()
+    cfg = TrainConfig()
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), batch, cfg)
+
+    # evolve every leaf away from init: one synthetic optimizer step
+    # (populates the Adamax moments), a step bump, and two plateau steps
+    # that trigger a reduction (patience=0 -> scale 0.2, num_bad reset)
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+    pl = plateau_step(state.plateau, 1.0, factor=0.2, patience=0)
+    pl = plateau_step(pl, 2.0, factor=0.2, patience=0)   # worse -> reduce
+    state = state.replace(step=jnp.asarray(7, jnp.int32), params=params,
+                          opt_state=opt_state, plateau=pl)
+    assert float(state.plateau.scale) == pytest.approx(0.2)
+
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save_epoch(0, state)
+    ckpt.save_epoch(1, state)
+    assert ckpt.latest_epoch() == 1
+    assert not os.path.exists(str(tmp_path / "epoch0"))   # rotated away
+    ckpt.save_best(state)
+
+    # restore into a DIFFERENT init (fresh rng) — every leaf must come back
+    # bit-exact, incl. optimizer moments and plateau fields
+    other, _ = create_train_state(model, jax.random.PRNGKey(1), batch, cfg)
+    restored = ckpt.restore("epoch1", jax.device_get(other))
+    want = jax.device_get(state)
+    flat_w, tdef_w = jax.tree_util.tree_flatten(want)
+    flat_r, tdef_r = jax.tree_util.tree_flatten(restored)
+    assert tdef_w == tdef_r
+    for w, r in zip(flat_w, flat_r):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(r))
+    assert int(restored.step) == 7
+    assert float(restored.plateau.scale) == pytest.approx(0.2)
+
+    best = ckpt.restore("best", jax.device_get(other))
+    np.testing.assert_array_equal(
+        np.asarray(best.plateau.best), np.asarray(want.plateau.best))
