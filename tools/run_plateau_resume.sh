@@ -3,35 +3,50 @@
 # reference analog: train.py:295 ReduceLROnPlateau + the --pretrained
 # restart flow, which loses optimizer state — ours restores it).
 #
-# Phase A trains DAIN on the synthetic-motion Vimeo-layout set with a
-# deliberately oversized LR (10x the reference 2e-3): training improves
-# fast from init, then stalls at a high floor the plateau scheduler must
-# step down through.  The run is SIGKILLed mid-training; phase B --resume
-# restores the full train state (params, Adamax moments, plateau scale /
-# num_bad_epochs, best-val watermark) from the last epoch checkpoint and
-# continues to completion.  Inspect <save>/log.txt for (a) the epoch seam
-# (no gap, no restart from 0) and (b) an lr-factor column step < 1.0.
+# Phase A trains DAIN on a synthetic-motion Vimeo-layout set (18 triplets:
+# 12 train / 6 test, so batch-3 validation forms 2 real batches) at the
+# reference LR with patience 1: on tiny data the val metric stalls within a
+# few epochs, stepping the scheduler.  Phase A is SIGKILLed as soon as
+# log.txt holds >= KILL_AFTER epoch rows (mid-run by construction, not a
+# compile-window guess); phase B --resume restores the full train state
+# (params, Adamax moments, plateau scale / best / num_bad_epochs, best-val
+# watermark) from the last epoch checkpoint and continues to completion.
+# The checker asserts (a) a contiguous epoch seam across the kill and
+# (b) at least one lr-factor step < 1.0.
 #
 # Usage: tools/run_plateau_resume.sh [save_dir] (default /tmp/run_plateau)
 set -u
 SAVE=${1:-/tmp/run_plateau}
-DATA=/tmp/vimeo_syn
+DATA=/tmp/vimeo_syn18
+KILL_AFTER=${KILL_AFTER:-3}
 cd "$(dirname "$0")/.."
 
-[ -d "$DATA/sequences" ] || python tools/make_synthetic_vimeo.py --out "$DATA" --n 12
+[ -d "$DATA/sequences" ] || \
+    python tools/make_synthetic_vimeo.py --out "$DATA" --n 18 --test-frac 0.34
 rm -rf "$SAVE"
 
 ARGS=(--dataset-path "$DATA" --save-path "$SAVE" --batch-size 3
       --num-epochs 24 --steps-per-epoch 40 --val-batches 2
-      --lr 0.02 --patience 2 --factor 0.2)
+      --patience 1 --factor 0.2)
 
-echo "== phase A (killed mid-run) =="
-timeout --signal=KILL 780 python apps/train.py "${ARGS[@]}"
+echo "== phase A (SIGKILLed after $KILL_AFTER logged epochs) =="
+python apps/train.py "${ARGS[@]}" & PID=$!
+for i in $(seq 1 360); do
+    sleep 5
+    kill -0 "$PID" 2>/dev/null || break
+    n=$(wc -l < "$SAVE/log.txt" 2>/dev/null || echo 0)
+    if [ "$n" -ge "$KILL_AFTER" ]; then
+        echo "log has $n rows -> SIGKILL $PID"
+        kill -9 "$PID"
+        break
+    fi
+done
+wait "$PID" 2>/dev/null
 echo "phase A exit: $? (137 = SIGKILL, expected)"
 echo "log after phase A:"; cat "$SAVE/log.txt"
 
 echo "== phase B (--resume) =="
-timeout 2400 python apps/train.py "${ARGS[@]}" --resume
+timeout 3000 python apps/train.py "${ARGS[@]}" --resume
 echo "phase B exit: $?"
 echo "final log:"; cat "$SAVE/log.txt"
 

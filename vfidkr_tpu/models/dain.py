@@ -67,6 +67,13 @@ class DAIN(nn.Module):
     dense_impl: str = "concat"   # PWC decode dense-block evaluation
                                  # ("split" = split-weight, no concat
                                  # buffers; see models/pwcnet.py)
+    pwc_batch_chunk: int | None = 4   # cap PWC's internal conv batch
+                                 # (pairs run in groups of chunk//2; see
+                                 # PWCDCNet.batch_chunk).  Measured fix for
+                                 # the internal-batch-8 conv-tiling cliff:
+                                 # B=4 headline 11.89 -> 9.31 ms/frame
+                                 # (tools/ubench_pwc_chunk.py); a no-op
+                                 # (bit-identical graph) at B <= 2.
     kernel_impl: str = "chained"  # MonoNet5/head evaluation.  "packed" /
                                   # "packed_trunk" run the small-channel
                                   # convs phase-packed (models/phasepack.py;
@@ -88,7 +95,8 @@ class DAIN(nn.Module):
         self.filter_head2 = BranchHead(fs2, impl=head_impl)
         self.rectify_net = MultipleBasicBlock(4, 128)
         self.flownets = PWCDCNet(corr_impl=self.corr_impl,
-                                 dense_impl=self.dense_impl)
+                                 dense_impl=self.dense_impl,
+                                 batch_chunk=self.pwc_batch_chunk)
         self.div_flow = 20.0
         if self.init_unused:
             self.occ_net = OccNet()
@@ -181,6 +189,7 @@ class DAINSlowMotion(nn.Module):
                                      # DAIN.compute_dtype)
     corr_impl: str = "slices"    # PWC cost-volume formulation
     dense_impl: str = "concat"   # PWC decode dense-block evaluation
+    pwc_batch_chunk: int | None = 4   # see DAIN.pwc_batch_chunk
     kernel_impl: str = "chained"  # MonoNet5/head evaluation (see DAIN;
                                   # packed measured a loss in-graph)
     depth_fuse_s2_max_hw: int = 0   # MegaDepth inception stage-2 fusion
@@ -216,7 +225,8 @@ class DAINSlowMotion(nn.Module):
         # 3*3 + 2*1 + 2*2 + 2*16 + 2*196 = 437 input channels (:38)
         self.rectify_net = MultipleBasicBlock(4, 128)
         self.flownets = PWCDCNet(corr_impl=self.corr_impl,
-                                 dense_impl=self.dense_impl)
+                                 dense_impl=self.dense_impl,
+                                 batch_chunk=self.pwc_batch_chunk)
         self.div_flow = 20.0
 
     def __call__(self, i0, i2, train: bool = False):

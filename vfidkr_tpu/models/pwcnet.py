@@ -78,6 +78,15 @@ class PWCDCNet(nn.Module):
     # opt-in (its f32 reassociation shifts final flows ~3e-3 at random
     # init via warp-position amplification).
     dense_impl: str = "concat"
+    # Batch-cliff workaround (VERDICT r3 item 2 / tools/ubench_batch.py):
+    # the bidirectional pass scales linearly up to INTERNAL batch 4
+    # (3.04 ms/pair) but regresses 1.8x per item at internal batch 8 (XLA
+    # picks a worse conv tiling past the cliff).  ``batch_chunk`` caps the
+    # internal batch per conv call: pairs are evaluated in groups of
+    # batch_chunk//2 and the flows concatenated — identical per-sample math
+    # (conv samples are independent; only f32 tiling-order rounding can
+    # differ).  None = single fused call (reference-shaped).
+    batch_chunk: int | None = None
 
     def setup(self):
         cl = ConvLReLU
@@ -170,6 +179,12 @@ class PWCDCNet(nn.Module):
         conv math is unchanged, but the op count halves (the decoder is
         launch-bound at the coarse pyramid levels)."""
         b = im1.shape[0]
+        if self.batch_chunk is not None and 2 * b > self.batch_chunk:
+            pc = max(1, self.batch_chunk // 2)   # pairs per chunk
+            outs = [self.bidirectional(im1[i:i + pc], im2[i:i + pc])
+                    for i in range(0, b, pc)]
+            return (jnp.concatenate([o[0] for o in outs], axis=0),
+                    jnp.concatenate([o[1] for o in outs], axis=0))
         pyr = self._pyramid(jnp.concatenate([im1, im2], axis=0))
         p1 = tuple(c[:b] for c in pyr)
         p2 = tuple(c[b:] for c in pyr)
