@@ -115,12 +115,15 @@ def make_res3():
 
     nchunk = H // RCHUNK
 
-    def kernel(x_ref, w_ref, o_ref, xbuf, tbuf):
+    def kernel(x_hbm, w_ref, o_hbm, xbuf, tbuf, sem):
+        b = pl.program_id(0)
         w = w_ref[...]                      # (6, 9, C, C)
+        cin = pltpu.make_async_copy(x_hbm.at[b], xbuf, sem.at[0])
+        cin.start()
         zrow = jnp.zeros((1, W, C), jnp.bfloat16)
-        xbuf[...] = x_ref[0]                # padded input (guard rows zero)
         tbuf[0:1] = zrow
         tbuf[H + 1:H + 2] = zrow
+        cin.wait()
 
         def conv_into(src, dst, wi, res):
             """dst interior <- relu(conv3x3(src) [+ res interior])."""
@@ -137,13 +140,17 @@ def make_res3():
             jax.lax.fori_loop(0, nchunk, body, ())
 
         for k in range(3):
-            # t = relu(conv(x)); x = relu(conv(t) + x)   — in-place on xbuf
-            # is safe: chunk i of the second conv reads xbuf rows only as
-            # the residual at the SAME rows it overwrites... it also reads
-            # neighbour rows via taps of tbuf (not xbuf), so no hazard.
+            # t = relu(conv(x)); x = relu(conv(t) + x).  In-place on xbuf is
+            # safe: chunk i's residual read covers exactly the rows it then
+            # overwrites (read-before-write within the chunk); taps come
+            # from tbuf.  Guard rows stay zero (writes are interior-only).
             conv_into(xbuf, tbuf, 2 * k, None)
             conv_into(tbuf, xbuf, 2 * k + 1, xbuf)
-        o_ref[0] = xbuf[1:H + 1]
+
+        cout = pltpu.make_async_copy(xbuf.at[pl.ds(1, H)], o_hbm.at[b],
+                                     sem.at[1])
+        cout.start()
+        cout.wait()
 
     @jax.jit
     def res3(x, w69):                  # x (B,H,W,C) bf16, w69 (6,9,C,C) bf16
@@ -152,13 +159,14 @@ def make_res3():
             kernel,
             grid=(x.shape[0],),
             in_specs=[
-                pl.BlockSpec((1, H + 2, W, C), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((6, 9, C, C), lambda b: (0, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0)),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct(x.shape, jnp.bfloat16),
             scratch_shapes=[pltpu.VMEM((H + 2, W, C), jnp.bfloat16),
-                            pltpu.VMEM((H + 2, W, C), jnp.bfloat16)],
+                            pltpu.VMEM((H + 2, W, C), jnp.bfloat16),
+                            pltpu.SemaphoreType.DMA((2,))],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(xpad, w69)
@@ -178,6 +186,71 @@ def _xla_conv(x, w, relu=True):
     return y.astype(jnp.bfloat16)
 
 
+def probe_module():
+    """Production module A/B: MultipleBasicBlock impl=chained vs fused under
+    the bf16 lane (the only lane the fused path serves)."""
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.models.layers import conv_compute_dtype
+    from vfidkr_tpu.models.resblock import MultipleBasicBlock
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(B, H, W, 45), jnp.float32)
+    params = jax.jit(MultipleBasicBlock(4, 128, impl="chained").init)(
+        jax.random.PRNGKey(0), x)
+    jax.block_until_ready(params)
+    out, vals = {}, {}
+    for impl in ("chained", "fused"):
+        model = MultipleBasicBlock(4, 128, impl=impl)
+
+        def step(x):
+            with conv_compute_dtype("bfloat16"):
+                y = model.apply(params, x)
+            red = jnp.mean(y)
+            return x * jnp.float32(0.999) + 1e-3 * red
+        vals[impl] = np.asarray(model.apply(params, x), np.float32)
+        out[impl] = device_time_slope(jax.jit(step), x, n1=40, n2=160)
+    err = float(np.max(np.abs(vals["chained"] - vals["fused"])))
+    print(json.dumps({"probe": "module",
+                      "chained_ms": round(out["chained"] * 1e3, 3),
+                      "fused_ms": round(out["fused"] * 1e3, 3),
+                      "speedup": round(out["chained"] / out["fused"], 3),
+                      "maxerr_f32ctx": err}), flush=True)
+
+
+def probe_dain():
+    """Full bf16-lane DAIN headline with the rectifier chained vs fused
+    (rect_impl auto dispatches fused on TPU+bf16), one session."""
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.models import DAIN
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    q = lambda a: np.round(a * 255.0).astype(np.float32) / 255.0
+    i0 = jnp.asarray(q(rng.rand(1, H, W, 3)), jnp.float32)
+    i2 = jnp.asarray(q(rng.rand(1, H, W, 3)), jnp.float32)
+    res = {}
+    for impl in ("chained", "auto"):
+        model = DAIN(filter_impl="slab8", compute_dtype="bfloat16",
+                     rect_impl=impl)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), i0, i2)
+        jax.block_until_ready(params)
+
+        def step(x):
+            out = model.apply(params, x, i2)["outputs"][1]
+            return jnp.where(jnp.isfinite(jnp.sum(out)),
+                             jnp.roll(x, 7, axis=2), x)
+        res[impl] = device_time_slope(jax.jit(step), i0, n1=30, n2=150)
+    print(json.dumps({"probe": "dain_bf16_headline",
+                      "chained_ms": round(res["chained"] * 1e3, 3),
+                      "fused_ms": round(res["auto"] * 1e3, 3),
+                      "fused_fps": round(1.0 / res["auto"], 2),
+                      "speedup": round(res["chained"] / res["auto"], 3)},
+                     ), flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -186,6 +259,10 @@ def main():
 
     enable_persistent_cache()
     which = sys.argv[1:] or ["conv1", "res3"]
+    if "module" in which:
+        probe_module()
+    if "dain" in which:
+        probe_dain()
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(B, H, W, C), jnp.bfloat16)
     w_hwio = jnp.asarray(rng.randn(3, 3, C, C) * 0.05, jnp.bfloat16)

@@ -83,6 +83,11 @@ class DAIN(nn.Module):
                                   # (chained 8.93 / packed_trunk 8.86 /
                                   # packed 10.42 ms @448x256), so the
                                   # default stays chained.
+    rect_impl: str = "auto"       # rectifier residual-trunk evaluation
+                                  # ("chained" | "fused" | "auto"); "auto"
+                                  # runs the fused Pallas trunk exactly when
+                                  # the bf16 eval lane is active on TPU (see
+                                  # models/resblock.py).
 
     def setup(self):
         assert self.timestep == 0.5, "DAIN supports t=0.5 only (DAIN.py:36)"
@@ -93,7 +98,7 @@ class DAIN(nn.Module):
         self.filter_net = MonoNet5(impl=trunk_impl)
         self.filter_head1 = BranchHead(fs2, impl=head_impl)
         self.filter_head2 = BranchHead(fs2, impl=head_impl)
-        self.rectify_net = MultipleBasicBlock(4, 128)
+        self.rectify_net = MultipleBasicBlock(4, 128, impl=self.rect_impl)
         self.flownets = PWCDCNet(corr_impl=self.corr_impl,
                                  dense_impl=self.dense_impl,
                                  batch_chunk=self.pwc_batch_chunk)
@@ -197,6 +202,8 @@ class DAINSlowMotion(nn.Module):
     depth_impl: str = "chained"  # "packed": phase-packed hourglass eval
                                  # (models/phasepack.py general-k; eval-only,
                                  # pre-pack kernels with prepack_megadepth)
+    rect_impl: str = "auto"      # rectifier residual-trunk evaluation (see
+                                 # DAIN.rect_impl / models/resblock.py)
     steps_impl: str = "unroll"   # "scan": nn.scan over the time steps — the
                                  # step subgraph is traced/compiled ONCE
                                  # instead of num_frames times, which fixes
@@ -223,7 +230,7 @@ class DAINSlowMotion(nn.Module):
             fuse_stage2_max_hw=self.depth_fuse_s2_max_hw,
             packed=self.depth_impl == "packed")
         # 3*3 + 2*1 + 2*2 + 2*16 + 2*196 = 437 input channels (:38)
-        self.rectify_net = MultipleBasicBlock(4, 128)
+        self.rectify_net = MultipleBasicBlock(4, 128, impl=self.rect_impl)
         self.flownets = PWCDCNet(corr_impl=self.corr_impl,
                                  dense_impl=self.dense_impl,
                                  batch_chunk=self.pwc_batch_chunk)
