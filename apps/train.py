@@ -93,8 +93,13 @@ def main():
         factor=args.factor, patience=args.patience)
 
     # training keeps the ModelConfig defaults: filter_impl="slab" (exact on
-    # any f32 input) and f32 convs (the reference training precision)
-    model = ModelConfig(net_name=args.net_name).build()
+    # any f32 input) and f32 convs (the reference training precision).
+    # pwc_batch_chunk=None: the chunked-PWC eval win was measured on eval
+    # graphs only; under grad it would trace one PWC fwd+bwd subgraph per
+    # 2-pair chunk on an already >13-min serial compile (gradients are
+    # unaffected either way) — keep training unchunked until a train-side
+    # device measurement shows a win (tools/ubench_trainstep.py).
+    model = ModelConfig(net_name=args.net_name, pwc_batch_chunk=None).build()
     train_paths, test_paths = vimeo90k_splits(args.dataset_path)
     train_ds = Vimeo90KDataset(args.dataset_path, train_paths,
                                args.batch_size, augment=True, seed=args.seed)
@@ -141,6 +146,15 @@ def main():
                 rows = [list(r) for r in prior if int(r[0]) <= last]
                 if rows:
                     best_val = min(r[3] for r in rows)
+                # epoch{last} was checkpointed BEFORE its validation ran, so
+                # the restored plateau state has not seen epoch last's val
+                # loss; replay it from log.txt so each resume doesn't extend
+                # the plateau patience by one epoch vs an uninterrupted run
+                last_row = next((r for r in rows if int(r[0]) == last), None)
+                if last_row is not None:
+                    state = state.replace(plateau=plateau_step(
+                        state.plateau, last_row[3], factor=config.factor,
+                        patience=config.patience))
             print(f"resumed from epoch{last} (next epoch {start_epoch}, "
                   f"best val {best_val:.5f}, lr scale "
                   f"{float(state.plateau.scale):.4f})")

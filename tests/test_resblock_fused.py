@@ -94,3 +94,17 @@ def test_fused_ok_gate():
     assert not fused_resblocks_ok((1, 17, 24, 128))     # H % rchunk != 0
     assert not fused_resblocks_ok((1, 2048, 2048, 128))  # VMEM oversize
     assert not fused_resblocks_ok((16, 24, 128))        # rank
+
+
+def test_fused_impl_falls_back_under_autodiff():
+    """impl="fused" inside a differentiated graph must take the chained path
+    (the Pallas trunk is forward-only); gradients flow and are finite."""
+    m = MultipleBasicBlock(4, 128, impl="fused")
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 24, 8), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, x):
+        return jnp.sum(m.apply(p, x) ** 2)
+
+    g = jax.grad(loss, argnums=1)(params, x)
+    assert np.all(np.isfinite(np.asarray(g)))

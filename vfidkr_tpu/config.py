@@ -36,12 +36,16 @@ class ModelConfig:
     depth_impl: str = "chained"      # DAIN_slowmotion MegaDepth evaluation
     steps_impl: str = "unroll"       # DAIN_slowmotion time-step loop;
                                      # "scan" compiles the step once
+    pwc_batch_chunk: Optional[int] = 4   # cap PWC's internal conv batch
+                                     # (measured eval win at B=4; training
+                                     # drivers pass None — see apps/train.py)
 
     def build(self):
         from vfidkr_tpu.models import build_model
         kwargs = dict(channel=self.channels, filter_size=self.filter_size,
                       timestep=self.time_step, filter_impl=self.filter_impl,
-                      compute_dtype=self.compute_dtype)
+                      compute_dtype=self.compute_dtype,
+                      pwc_batch_chunk=self.pwc_batch_chunk)
         if self.net_name == "DAIN_slowmotion":
             kwargs["depth_impl"] = self.depth_impl
             kwargs["steps_impl"] = self.steps_impl

@@ -34,6 +34,24 @@ from vfidkr_tpu.ops.pallas.rectify_kernel import (fused_resblocks,
                                                   fused_resblocks_ok)
 
 
+def _under_autodiff(x) -> bool:
+    """True when ``x`` carries an active JVP/linearize trace (jax.grad /
+    jax.vjp / jax.linearize), unwrapping nested tracer levels.  The fused
+    Pallas trunk is forward-only (manual DMA, no VJP), so differentiated
+    graphs must take the chained path."""
+    from jax._src.interpreters import ad as _ad
+    ad_tracers = tuple(
+        t for t in (getattr(_ad, "JVPTracer", None),
+                    getattr(_ad, "LinearizeTracer", None)) if t is not None)
+    seen = 0
+    while isinstance(x, jax.core.Tracer) and seen < 16:
+        if isinstance(x, ad_tracers):
+            return True
+        x = getattr(x, "primal", None)
+        seen += 1
+    return False
+
+
 class MultipleBasicBlock(nn.Module):
     num_blocks: int = 4
     intermediate: int = 128
@@ -41,6 +59,11 @@ class MultipleBasicBlock(nn.Module):
 
     def _fusable(self, h) -> bool:
         if self.impl == "chained" or self.is_initializing():
+            return False
+        if _under_autodiff(h):
+            # training graph: the fused kernel has no VJP — always chain
+            # (even for impl="fused"; silently correct beats an opaque
+            # Pallas AD error)
             return False
         if self.num_blocks != 4 or self.intermediate != 128 \
                 or not fused_resblocks_ok(h.shape):
