@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -39,6 +40,11 @@ def main():
     ap.add_argument("--limit", type=int, default=None,
                     help="cap the number of eval BATCHES (of --batch-size "
                          "pairs each), not pairs")
+    ap.add_argument("--out-dir", default=None,
+                    help="save each interpolated frame as "
+                         "<out-dir>/<seq>/output-im2.png (the reference's "
+                         "per-pair save, demo_test_ourdata.py:256,334); "
+                         "costs one device->host frame fetch per batch")
     from vfidkr_tpu.config import ModelConfig, add_model_flags
     add_model_flags(ap)   # --filter-impl (slab8) / --compute-dtype / ...
     args = ap.parse_args()
@@ -87,13 +93,24 @@ def main():
         x1p, _ = pad_to_multiple(x1)
         out = model.apply(params, x0p, x1p)["outputs"][which]
         out = jnp.clip(unpad(out, pads), 0.0, 1.0)
-        return (psnr_per_image(jnp.round(out * 255.0), jnp.round(y * 255.0)),
-                ssim_per_image(out, y))
+        # the reference's metrics run on the SAVED uint8 frame re-read from
+        # disk (demo_test_ourdata.py:334-345): round(out*255) IS that frame,
+        # so computing on it in-graph is bit-identical to the re-read —
+        # incl. the interpolation error IE = mean |rec - gt| (:341-345)
+        out_u8 = jnp.round(out * 255.0)
+        gt_u8 = jnp.round(y * 255.0)
+        ie = jnp.mean(jnp.abs(out_u8 - gt_u8), axis=(1, 2, 3))
+        return (psnr_per_image(out_u8, gt_u8),
+                ssim_per_image(out_u8 / 255.0, gt_u8 / 255.0), ie,
+                out_u8.astype(jnp.uint8))
 
     B = args.batch_size
     n_batches = (args.limit if args.limit is not None
                  else -(-len(ds.paths) // B))   # ceil: incl. remainder batch
-    psnrs, ssims = [], []
+    psnrs, ssims, ies = [], [], []
+    if args.out_dir:
+        from PIL import Image
+        os.makedirs(args.out_dir, exist_ok=True)
     # warm the jit outside the timed loop (the reference protocol times
     # per-pair work after model build, demo_test_ourdata.py:251-333; the
     # one-time XLA compile is minutes and would swamp a short sweep)
@@ -117,22 +134,36 @@ def main():
     for batch, valid in prefetch(batches_with_remainder(), 2):
         if done >= n_batches:
             break
-        p, s = step(params, jnp.asarray(batch["x0"]),
-                    jnp.asarray(batch["x1"]), jnp.asarray(batch["y"]))
+        p, s, e, frames = step(params, jnp.asarray(batch["x0"]),
+                               jnp.asarray(batch["x1"]),
+                               jnp.asarray(batch["y"]))
         # keep metrics on device — a float() here would cost a ~35-40 ms
         # tunnel round trip PER BATCH; everything syncs once after the loop
         psnrs.append(p[:valid])
         ssims.append(s[:valid])
+        ies.append(e[:valid])
+        if args.out_dir:
+            # reference layout: <gen_dir>/<seq>/output-im2.png
+            # (demo_test_ourdata.py:256)
+            host = np.asarray(frames[:valid])
+            for j in range(valid):
+                rel = ds.paths[done * B + j]
+                seq_dir = os.path.join(args.out_dir, rel)
+                os.makedirs(seq_dir, exist_ok=True)
+                Image.fromarray(host[j]).save(
+                    os.path.join(seq_dir, "output-im2.png"))
         done += 1
         if done % 200 == 0:
             print(f"[{done}/{n_batches}]", file=sys.stderr)
     psnrs = np.concatenate([np.asarray(p) for p in psnrs])
     ssims = np.concatenate([np.asarray(s) for s in ssims])
+    ies = np.concatenate([np.asarray(e) for e in ies])
     dt = time.time() - t0
 
     result = {
         "avg_psnr": float(np.mean(psnrs)),
         "avg_ssim": float(np.mean(ssims)),
+        "avg_ie": float(np.mean(ies)),
         "pairs": int(psnrs.shape[0]),
         "pairs_per_sec": psnrs.shape[0] / dt,
     }

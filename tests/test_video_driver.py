@@ -61,3 +61,45 @@ def test_video_in_video_out(tmp_path):
     assert ok2
     assert np.mean(np.abs(f.astype(np.float32) - f_in.astype(np.float32))) < 8.0
     cap.release(), cap_in.release()
+
+
+@pytest.mark.slow
+def test_eval_vimeo_out_dir_and_ie(tmp_path):
+    """apps/eval_vimeo.py --out-dir saves the reference-layout PNG
+    (<out>/<seq>/output-im2.png, demo_test_ourdata.py:256,334) and reports
+    avg_ie; the IE recomputed from the saved uint8 frame must match the
+    driver's in-graph value (the save->re-read protocol, :337-345)."""
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    names = []
+    for i in range(2):
+        rel = f"00001/{i:04d}"
+        d = tmp_path / "sequences" / rel
+        d.mkdir(parents=True)
+        for f in ("im1.png", "im2.png", "im3.png"):
+            arr = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f)
+        names.append(rel)
+    (tmp_path / "tri_trainlist.txt").write_text(names[0] + "\n\n")
+    (tmp_path / "tri_testlist.txt").write_text(names[1] + "\n\n")
+    out_dir = str(tmp_path / "gen")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, "apps/eval_vimeo.py", "--dataset-path",
+         str(tmp_path), "--batch-size", "1", "--out-dir", out_dir,
+         "--filter-impl", "block"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
+    assert res.returncode == 0, res.stderr[-2000:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["pairs"] == 1
+    assert np.isfinite(info["avg_ie"]) and np.isfinite(info["avg_psnr"])
+
+    saved = os.path.join(out_dir, names[1], "output-im2.png")
+    assert os.path.exists(saved), os.listdir(out_dir)
+    rec = np.asarray(Image.open(saved)).astype(np.float64)
+    gt = np.asarray(Image.open(
+        tmp_path / "sequences" / names[1] / "im2.png")).astype(np.float64)
+    assert rec.shape == (64, 96, 3)
+    ie = np.mean(np.abs(rec - gt))
+    assert ie == pytest.approx(info["avg_ie"], abs=1e-4)
