@@ -78,28 +78,31 @@ def _ref_rectify():
         sys.path.remove(REF)
 
 
+class FakeDAIN(tnn.Module):
+    """Attribute names mirror the reference DAIN (networks/DAIN.py:41-65) so
+    state_dict() produces reference-shaped keys."""
+    def __init__(self):
+        super().__init__()
+        trunk = _mononet5_torch()
+        self.initScaleNets_filter = trunk
+        self.initScaleNets_filter1 = tnn.ModuleList(
+            [tnn.Conv2d(16, 16, 3, 1, 1), tnn.ReLU(),
+             tnn.Conv2d(16, 16, 3, 1, 1)])
+        self.initScaleNets_filter2 = tnn.ModuleList(
+            [tnn.Conv2d(16, 16, 3, 1, 1), tnn.ReLU(),
+             tnn.Conv2d(16, 16, 3, 1, 1)])
+        self.initOcclusion = _occnet_torch()
+        self.initDeconv_field = tnn.ModuleList(
+            [tnn.Conv2d(3, 64, 3, 1, 1), tnn.ReLU(),
+             tnn.Conv2d(64, 128, 3, 1, 1), tnn.ReLU(),
+             tnn.Conv2d(128, 32, 3, 1, 1)])
+        self.ctxNet = _ref_s2df()
+        self.rectifyNet = _ref_rectify()
+        self.flownets = _ref_pwcnet()
+
+
 @pytest.mark.slow
 def test_full_dain_checkpoint_roundtrip(rng):
-    class FakeDAIN(tnn.Module):
-        def __init__(self):
-            super().__init__()
-            trunk = _mononet5_torch()
-            self.initScaleNets_filter = trunk
-            self.initScaleNets_filter1 = tnn.ModuleList(
-                [tnn.Conv2d(16, 16, 3, 1, 1), tnn.ReLU(),
-                 tnn.Conv2d(16, 16, 3, 1, 1)])
-            self.initScaleNets_filter2 = tnn.ModuleList(
-                [tnn.Conv2d(16, 16, 3, 1, 1), tnn.ReLU(),
-                 tnn.Conv2d(16, 16, 3, 1, 1)])
-            self.initOcclusion = _occnet_torch()
-            self.initDeconv_field = tnn.ModuleList(
-                [tnn.Conv2d(3, 64, 3, 1, 1), tnn.ReLU(),
-                 tnn.Conv2d(64, 128, 3, 1, 1), tnn.ReLU(),
-                 tnn.Conv2d(128, 32, 3, 1, 1)])
-            self.ctxNet = _ref_s2df()
-            self.rectifyNet = _ref_rectify()
-            self.flownets = _ref_pwcnet()
-
     ref = _randomize(FakeDAIN(), scale=0.1)
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
 
@@ -126,3 +129,56 @@ def test_full_dain_checkpoint_roundtrip(rng):
     # loaded params actually changed the output vs fresh init
     out0 = model.apply(init_vars, x, x)
     assert float(jnp.abs(out["outputs"][1] - out0["outputs"][1]).max()) > 1e-4
+
+
+@pytest.mark.slow
+def test_inverse_converter_roundtrip(rng):
+    """invert_dain_state_dict (flax -> torch layout) must be the exact
+    inverse of convert_dain_state_dict: exporting our init params and
+    re-converting reproduces them bit-for-bit, and converting a torch
+    state_dict then exporting it back reproduces every covered torch key."""
+    from vfidkr_tpu.convert import invert_dain_state_dict
+
+    ref = _randomize(FakeDAIN(), scale=0.1)
+    ref_sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = DAIN()
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    init_vars = jax.device_get(model.init(jax.random.PRNGKey(0), x, x))
+
+    # flax -> torch -> flax: bit-exact on every exported tensor
+    exported, missing = invert_dain_state_dict(init_vars, ref_sd)
+    assert len(exported) == 225            # all but the dead deconv2 pair
+    assert sorted(missing) == sorted(
+        ["flownets.deconv2.weight", "flownets.deconv2.bias"])
+    back = convert_dain_state_dict({**ref_sd, **exported})
+    n_checked = 0
+    for path, leaf in _walk(back):
+        src = init_vars
+        for k in path:
+            if not isinstance(src, dict) or k not in src:
+                src = None
+                break
+            src = src[k]
+        if src is None:
+            continue                        # dead deconv2
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(src, np.float32),
+                                      err_msg="/".join(path))
+        n_checked += 1
+    assert n_checked == 225
+
+    # torch -> flax -> torch: every covered torch key reproduced bit-exactly
+    converted = convert_dain_state_dict(ref_sd)
+    re_exported, _ = invert_dain_state_dict(converted, ref_sd)
+    for k, v in re_exported.items():
+        np.testing.assert_array_equal(v, np.asarray(ref_sd[k], np.float32),
+                                      err_msg=k)
+
+
+def _walk(tree, path=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _walk(v, path + (k,))
+    else:
+        yield path, tree

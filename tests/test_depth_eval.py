@@ -1,6 +1,7 @@
 """Depth-eval metrics (scale-invariant RMSE / SDR) vs literal NumPy
 translations of MegaDepth/models/HG_model.py:50-166."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from vfidkr_tpu.utils.depth_eval import scale_invariant_rmse, sdr_counts
@@ -56,3 +57,45 @@ def test_sdr_counts_match_reference_classify(rng):
     total_err = diff.sum()
     assert errs.tolist() == [total_err - unequal_err, unequal_err, total_err]
     assert counts.tolist() == [(gt == 0).sum(), (gt != 0).sum(), p]
+
+
+@pytest.mark.slow
+def test_depth_eval_driver(tmp_path):
+    """apps/depth_eval.py end-to-end on a synthetic h5/png set — the role of
+    the reference's rmse_error_main.py / SDR_compute.py drivers."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import h5py
+    from PIL import Image
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.RandomState(0)
+    h, w = 64, 96
+    for i in range(2):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / f"s{i}.png")
+        depth = (rng.rand(h, w) * 10 + 0.5).astype(np.float32)
+        depth[:4] = 0.0                       # invalid region -> masked
+        with h5py.File(tmp_path / f"s{i}.h5", "w") as f:
+            f.create_dataset("/depth", data=depth)
+    p = 50
+    np.savez(tmp_path / "s0.sdr.npz",
+             xA=rng.randint(0, w, p), yA=rng.randint(0, h, p),
+             xB=rng.randint(0, w, p), yB=rng.randint(0, h, p),
+             gt=rng.randint(-1, 2, p))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, "apps/depth_eval.py", "--data-root", str(tmp_path),
+         "--input-height", str(h), "--input-width", str(w)],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stderr[-2000:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["images"] == 2 and info["rmse_images"] == 2
+    assert np.isfinite(info["si_rmse"]) and info["si_rmse"] >= 0.0
+    assert info["sdr"]["pairs"] == p
+    for k in ("equal", "unequal", "total"):
+        assert 0.0 <= info["sdr"][k] <= 1.0

@@ -1,3 +1,4 @@
+from vfidkr_tpu.convert.inverse import invert_dain_state_dict
 from vfidkr_tpu.convert.torch_loader import (
     convert_dain_state_dict,
     convert_megadepth,
@@ -11,5 +12,5 @@ from vfidkr_tpu.convert.torch_loader import (
 __all__ = [
     "load_torch_state_dict", "convert_pwcnet", "convert_mononet_trunk",
     "convert_s2df", "convert_resblock", "convert_megadepth",
-    "convert_dain_state_dict",
+    "convert_dain_state_dict", "invert_dain_state_dict",
 ]
