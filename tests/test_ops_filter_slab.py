@@ -112,3 +112,56 @@ def test_slab_impl_string_falls_back_off_tpu(rng):
     got = filter_interpolate(image, flow, filt, impl="slab")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def _vjp_pair(fn_a, fn_b, image, flow, filt, g):
+    _, vjp_a = jax.vjp(fn_a, image, flow, filt)
+    _, vjp_b = jax.vjp(fn_b, image, flow, filt)
+    return vjp_a(g), vjp_b(g)
+
+
+@pytest.mark.parametrize("band,tw,h,w", [(16, 32, 16, 32), (8, 64, 32, 128)])
+def test_bwd_kernel_random_cotangent(rng, band, tw, h, w):
+    """The banded Pallas backward (filter_bandmm_bwd_kernel) vs the XLA
+    block VJP under an arbitrary cotangent — all three grads."""
+    image, flow, filt = _case(rng, b=2, h=h, w=w)
+    g = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+    got, want = _vjp_pair(
+        lambda im, fl, ke: _filter_interpolate_slab(im, fl, ke, 4, band, tw),
+        lambda im, fl, ke: filter_interpolate(im, fl, ke, impl="block"),
+        image, flow, filt, g)
+    for a, b_, name in zip(got, want, ("image", "flow", "filt")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_bwd_oversize_flow_conds_to_exact(rng):
+    """Gradients when the forward took the oversize lax.cond fallback must
+    come from the exact XLA backward (one branch flag covers fwd + bwd)."""
+    image, flow, filt = _case(rng, h=16, w=224)
+    flow = flow.at[0, 3, 111].set(jnp.asarray([40.0, 1.0]))   # beyond rh
+    g = jnp.asarray(rng.randn(1, 16, 224, 3).astype(np.float32))
+    got, want = _vjp_pair(
+        lambda im, fl, ke: _filter_interpolate_slab(im, fl, ke, 4, 16, 112),
+        lambda im, fl, ke: filter_interpolate(im, fl, ke, impl="block"),
+        image, flow, filt, g)
+    for a, b_, name in zip(got, want, ("image", "flow", "filt")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_bwd_slab8_grads_match_block(rng):
+    """slab8 (limbs=1) backward: 8-bit-grid inputs stay on the fast branch;
+    its gradients must match the exact block VJP (T uses full-limb image
+    reconstruction regardless of the forward's limb count)."""
+    image, flow, filt = _case(rng, b=2)
+    image = jnp.round(image * 255.0) / 255.0
+    g = jnp.asarray(rng.randn(*image.shape).astype(np.float32))
+    got, want = _vjp_pair(
+        lambda im, fl, ke: _filter_interpolate_slab(im, fl, ke, 4, 16, 32,
+                                                    32, 1),
+        lambda im, fl, ke: filter_interpolate(im, fl, ke, impl="block"),
+        image, flow, filt, g)
+    for a, b_, name in zip(got, want, ("image", "flow", "filt")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)

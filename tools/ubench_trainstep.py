@@ -1,0 +1,269 @@
+#!/usr/bin/env python
+"""Per-stage fwd/bwd attribution of the DAIN train step (VERDICT r4 item 1).
+
+The train step measured 225.3 ms at B=3 @448x256 (bench_matrix round 3)
+while the eval forward is ~9 ms/frame — the backward has never been
+profiled.  This tool slope-times each stage's forward AND its VJP at the
+shapes the training graph sees (batch 3, 256x448 crop, reference
+train.py:71-77), so the expensive backwards are attributable:
+
+  filter    filter_interpolate slab fwd / vjp          on (2B, H, W, 3)
+  project   flow_project (train: no fill) fwd / vjp    on (2B, H, W, 2)
+  pwc       bidirectional PWC fwd / vjp                on (B, H, W, 3) pairs
+  mononet   MonoNet5 trunk + heads fwd / vjp           on (B, H, W, 6)
+  rectify   MultipleBasicBlock_4 fwd / vjp             on (B, H, W, 45)
+  step      the full jitted train_step (fwd+bwd+Adamax update)
+
+Each VJP measurement computes ALL input gradients (image/flow/filter etc.)
+and keeps them live via reduced-scalar feedback.  Usage:
+
+  python tools/ubench_trainstep.py [stage ...]      (default: all but step)
+  python tools/ubench_trainstep.py step             (compile-heavy)
+
+Run ONE TPU process at a time (CLAUDE.md timing rules).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+B = 3
+H, W = 256, 448
+
+
+def _flow(rng, n, scale=10.0):
+    return ((rng.rand(n, H, W, 2).astype(np.float32) - 0.5) * 2 * scale)
+
+
+def stage_filter(mode, impl="slab", n=2 * B, n1=10, n2=40):
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.ops import filter_interpolate
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(n, H, W, 3), jnp.float32)
+    filt = jnp.asarray(rng.rand(n, H, W, 16), jnp.float32)
+    flow0 = jnp.asarray(_flow(rng, n), jnp.float32)
+
+    fi = functools.partial(filter_interpolate, filter_size=4, impl=impl)
+
+    if mode == "fwd":
+        def step(flow):
+            out = fi(img, flow, filt)
+            r = jnp.mean(out, axis=(1, 2, 3))
+            return flow * 0.999 + 1e-6 * r[:, None, None, None]
+    else:
+        def step(flow):
+            out, vjp = jax.vjp(fi, img, flow, filt)
+            gi, gf, gk = vjp(out)
+            return (flow * 0.999 + 1e-6 * gf
+                    + 1e-9 * (jnp.sum(gi) + jnp.sum(gk)))
+
+    return device_time_slope(jax.jit(step), flow0, n1=n1, n2=n2)
+
+
+def stage_project(mode):
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.ops import flow_project
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    flow0 = jnp.asarray(_flow(rng, 2 * B), jnp.float32)
+    fp = functools.partial(flow_project, hole_fill=False)   # train mode
+
+    if mode == "fwd":
+        def step(flow):
+            out = fp(flow)
+            return flow * 0.999 + 1e-6 * out
+    else:
+        def step(flow):
+            out, vjp = jax.vjp(fp, flow)
+            gf, = vjp(out)
+            return flow * 0.999 + 1e-6 * gf
+
+    return device_time_slope(jax.jit(step), flow0, n1=10, n2=40)
+
+
+def stage_scatter_bwd_only(_):
+    """The _scatter4_transpose VJP body alone (chunked one-hot matmuls)."""
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.ops.flow_projection import (_landing, _scatter4_transpose)
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    flow = jnp.asarray(_flow(rng, 2 * B), jnp.float32)
+    _, _, _, ix_l, ix_r, iy_t, iy_b = jax.vmap(_landing)(flow)
+    g0 = jnp.asarray(rng.rand(2 * B, H, W, 3), jnp.float32)
+
+    def step(g):
+        d = jax.vmap(_scatter4_transpose)(iy_t, iy_b, ix_l, ix_r, g)
+        return g * 0.999 + 1e-6 * d
+
+    return device_time_slope(jax.jit(step), g0, n1=10, n2=40)
+
+
+def stage_pwc(mode):
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.models.pwcnet import PWCDCNet
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    i0 = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
+    i2 = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
+    model = PWCDCNet(batch_chunk=None)   # train graph: unchunked
+    params = jax.jit(model.init, static_argnames=("method",))(
+        jax.random.PRNGKey(0), i0, i2, method="bidirectional")
+
+    def fwd(p, x):
+        f, bk = model.apply(p, x, i2, method="bidirectional")
+        return jnp.mean(f) + jnp.mean(bk)
+
+    if mode == "fwd":
+        def step(x):
+            return x * 0.999 + 1e-4 * fwd(params, x)
+    else:
+        def step(x):
+            l, (gp, gx) = jax.value_and_grad(fwd, argnums=(0, 1))(params, x)
+            gsum = sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(gp))
+            return x * 0.999 + 1e-4 * gx + 1e-9 * gsum
+
+    return device_time_slope(jax.jit(step), i0, n1=10, n2=40)
+
+
+def stage_mononet(mode):
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.models.mononet import BranchHead, MonoNet5
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.rand(B, H, W, 6), jnp.float32)
+    trunk = MonoNet5()
+    h1, h2 = BranchHead(16), BranchHead(16)
+    pt = jax.jit(trunk.init)(jax.random.PRNGKey(0), x0)
+    t0 = trunk.apply(pt, x0)
+    p1 = jax.jit(h1.init)(jax.random.PRNGKey(1), t0)
+    p2 = jax.jit(h2.init)(jax.random.PRNGKey(2), t0)
+
+    def fwd(ps, x):
+        pt, p1, p2 = ps
+        t = trunk.apply(pt, x)
+        return jnp.mean(h1.apply(p1, t) ** 2) + jnp.mean(h2.apply(p2, t) ** 2)
+
+    ps = (pt, p1, p2)
+    if mode == "fwd":
+        def step(x):
+            return x * 0.999 + 1e-4 * fwd(ps, x)
+    else:
+        def step(x):
+            l, (gp, gx) = jax.value_and_grad(fwd, argnums=(0, 1))(ps, x)
+            gsum = sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(gp))
+            return x * 0.999 + 1e-4 * gx + 1e-9 * gsum
+
+    return device_time_slope(jax.jit(step), x0, n1=10, n2=40)
+
+
+def stage_rectify(mode):
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.models.resblock import MultipleBasicBlock
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.rand(B, H, W, 45), jnp.float32)
+    m = MultipleBasicBlock(4, 128)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x0)
+
+    def fwd(p, x):
+        return jnp.mean(m.apply(p, x) ** 2)
+
+    if mode == "fwd":
+        def step(x):
+            return x * 0.999 + 1e-4 * fwd(params, x)
+    else:
+        def step(x):
+            l, (gp, gx) = jax.value_and_grad(fwd, argnums=(0, 1))(params, x)
+            gsum = sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(gp))
+            return x * 0.999 + 1e-4 * gx + 1e-9 * gsum
+
+    return device_time_slope(jax.jit(step), x0, n1=10, n2=40)
+
+
+def stage_step(_):
+    """Full train_step (fwd+bwd+Adamax).  Compile-heavy: ~13+ min cold on
+    this host; cached thereafter (enable_persistent_cache)."""
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.config import ModelConfig
+    from vfidkr_tpu.training import TrainConfig, create_train_state, train_step
+    from vfidkr_tpu.utils.profiling import device_time
+
+    rng = np.random.RandomState(0)
+    batch = {k: jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
+             for k in ("x0", "x1", "y")}
+    config = TrainConfig()
+    model = ModelConfig(net_name="DAIN", pwc_batch_chunk=None).build()
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), batch,
+                                   config)
+    jit_train = jax.jit(lambda s, b: train_step(model, tx, s, b, config))
+
+    import time
+    t0 = time.time()
+    state2, _ = jit_train(state, batch)
+    jax.block_until_ready(state2.params)
+    print(f"  [compile+1st step: {time.time() - t0:.0f}s]", file=sys.stderr)
+
+    def step(s):
+        s2, _ = jit_train(s, batch)
+        return s2
+
+    # feedback through the state pytree keeps every iteration live
+    return device_time(step, state, iters=20)
+
+
+STAGES = {
+    "filter_fwd": lambda: stage_filter("fwd"),
+    "filter_bwd": lambda: stage_filter("bwd"),
+    # the block-vjp backward CRASHES the TPU worker inside a >=10-iter
+    # feedback scan at the (6, 256, 448) train shape (measured r5) — the
+    # small-iteration B=2 variants below bound its cost instead
+    "filter_bwd_small": lambda: stage_filter("bwd", n=2, n1=3, n2=9),
+    "filter_block_bwd_small": lambda: stage_filter("bwd", impl="block",
+                                                   n=2, n1=3, n2=9),
+    "project_fwd": lambda: stage_project("fwd"),
+    "project_bwd": lambda: stage_project("bwd"),
+    "scatter_bwd_only": lambda: stage_scatter_bwd_only(None),
+    "pwc_fwd": lambda: stage_pwc("fwd"),
+    "pwc_bwd": lambda: stage_pwc("bwd"),
+    "mononet_fwd": lambda: stage_mononet("fwd"),
+    "mononet_bwd": lambda: stage_mononet("bwd"),
+    "rectify_fwd": lambda: stage_rectify("fwd"),
+    "rectify_bwd": lambda: stage_rectify("bwd"),
+    "step": lambda: stage_step(None),
+}
+
+
+def main():
+    from vfidkr_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
+    names = sys.argv[1:] or [k for k in STAGES if k != "step"]
+    out = {}
+    for name in names:
+        ms = STAGES[name]() * 1e3
+        out[name] = round(ms, 3)
+        print(f"{name:>18}: {ms:8.3f} ms", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -425,12 +425,84 @@ def _fi_slab_fwd(image, flow, filt, filter_size, band, tw, rh=32, limbs=3):
             (image, flow, filt))
 
 
-def _fi_slab_bwd(filter_size, band, tw, rh, limbs, res, g):
-    image, flow, filt = res
+def _fi_block_vjp(image, flow, filt, filter_size, g):
+    """The exact XLA backward (vjp of the blocked-gather formulation) —
+    identical math to filterinterpolation_cuda_kernel.cu:2827-3125."""
     block = jax.vmap(functools.partial(_filter_interpolate_2d_block,
                                        filter_size=filter_size))
     _, vjp = jax.vjp(block, image, flow, filt)
     return vjp(g)
+
+
+def _fi_slab_bwd_fast(image, flow, filt, filter_size, band, tw, rh, g):
+    """Banded Pallas backward (ops/pallas/filter_bandmm_bwd_kernel.py):
+    grad->image as the transpose banded scatter, grad->flow/filter by
+    chaining the kernel's per-tap T = dL/dkw through the elementwise weight
+    prep with XLA autodiff (reproducing the reference's quadrant
+    finite-difference flow gradient, kernel :2965-3102)."""
+    from vfidkr_tpu.ops.pallas.filter_bandmm_bwd_kernel import (
+        filter_bandmm_bwd_pallas)
+    fs = filter_size
+    pad_lo = fs // 2 - 1
+
+    def prep(image, flow, filt):
+        valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, fs)
+        kw = _combined_weights(filt, alpha, beta, fs)
+        return kw, (valid, iy_t + pad_lo, ix_l + pad_lo)
+
+    img32 = image.astype(jnp.float32)
+    kw, (valid, base_v, base_u) = jax.vmap(
+        lambda fl, ft: prep(img32[0], fl, ft))(flow, filt)
+    gz = jnp.where(valid[..., None], g.astype(jnp.float32), 0.0)
+    gimg, T = filter_bandmm_bwd_pallas(img32, base_v, base_u, kw, gz,
+                                       band=band, tw=tw, rh=rh)
+    # chain T = dL/dkw through the weight prep (alpha/beta/filter terms)
+    _, vjp_prep = jax.vjp(
+        lambda fl, ft: jax.vmap(lambda f1, f2: prep(img32[0], f1, f2)[0])(
+            fl, ft), flow, filt)
+    gflow, gfilt = vjp_prep(T)
+    # invalid pixels forward a stop_gradient copy: no image grad either
+    gimg = gimg + jnp.where(valid[..., None], 0.0, 0.0)
+    return (gimg.astype(image.dtype), gflow.astype(flow.dtype),
+            gfilt.astype(filt.dtype))
+
+
+def _fi_slab_bwd(filter_size, band, tw, rh, limbs, res, g):
+    image, flow, filt = res
+    fs = filter_size
+    pad_lo = fs // 2 - 1
+
+    # recompute the forward's branch flag so the gradient matches the branch
+    # that actually ran (oversize flows and — for slab8 — off-grid inputs
+    # took the exact XLA path)
+    def per_image(image, flow, filt):
+        valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, fs)
+        return valid, iy_t + pad_lo, ix_l + pad_lo
+
+    valid, base_v, base_u = jax.vmap(per_image)(image, flow, filt)
+    from vfidkr_tpu.ops.pallas.filter_bandmm_kernel import _rv_for
+    rv = _rv_for(band)
+    s = band + 2 * rv + fs - 1
+    u_slab = tw + 2 * rh + fs - 1
+    b, h, w = valid.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    bs = base_v + rv - (yy // band) * band
+    bu = base_u + rh - (xx // tw) * tw
+    in_slab = ((bs >= 0) & (bs <= s - fs) & (bu >= 0) & (bu <= u_slab - fs))
+    oversize = jnp.any(valid & ~in_slab)
+    if limbs == 1:
+        s255 = image.astype(jnp.float32) * 255.0
+        on_grid = jnp.all((s255 == jnp.round(s255))
+                          & (s255 >= 0.0) & (s255 <= 255.0))
+        oversize = oversize | ~on_grid
+
+    return jax.lax.cond(
+        oversize,
+        lambda g: _fi_block_vjp(image, flow, filt, filter_size, g),
+        lambda g: _fi_slab_bwd_fast(image, flow, filt, filter_size, band,
+                                    tw, rh, g),
+        g)
 
 
 _filter_interpolate_slab.defvjp(_fi_slab_fwd, _fi_slab_bwd)
