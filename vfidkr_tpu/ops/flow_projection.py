@@ -212,7 +212,31 @@ def _scatter4_bwd(res, g):
     import numpy as _np
     iy_t, iy_b, ix_l, ix_r = res
     zero_int = lambda x: _np.zeros(x.shape, jax.dtypes.float0)
-    dvals = jax.vmap(_scatter4_transpose)(iy_t, iy_b, ix_l, ix_r, g)
+    b, h, w = iy_t.shape
+    params = _band_scatter_params(h, w, g.shape[-1])
+    if params is None:
+        dvals = jax.vmap(_scatter4_transpose)(iy_t, iy_b, ix_l, ix_r, g)
+    else:
+        # banded Pallas gather (the scatter's transpose) with a whole-call
+        # cond to the XLA transpose when ANY pixel's target leaves the slab
+        # (the transpose reads for every pixel, contributing or not, so its
+        # predicate is over all pixels — stricter than the forward's)
+        from vfidkr_tpu.ops.pallas.projection_band_kernel import (
+            _bounds, scatter4_bwd_pallas)
+        band, tw, rh = params
+        rv, _ = _bounds(band, tw, rh)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+        oversize = jnp.any((jnp.abs(iy_t - yy) > rv - 1)
+                           | (jnp.abs(ix_l - xx) > rh - 1))
+        dvals = jax.lax.cond(
+            oversize,
+            lambda g: jax.vmap(_scatter4_transpose)(iy_t, iy_b, ix_l, ix_r,
+                                                    g),
+            lambda g: scatter4_bwd_pallas(g.astype(jnp.float32), iy_t, iy_b,
+                                          ix_l, ix_r, band=band, tw=tw,
+                                          rh=rh),
+            g)
     return (zero_int(iy_t), zero_int(iy_b), zero_int(ix_l), zero_int(ix_r),
             dvals)
 

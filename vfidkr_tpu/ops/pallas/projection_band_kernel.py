@@ -185,3 +185,112 @@ def scatter4_band_pallas(bs_t, bs_b, bu_l, bu_r, vals,
             out = out.at[:, :, g * group * band:g * group * band + hp_g,
                          j * tw:j * tw + u_slab].add(strips[:, j, g])
     return out[:, :, rv:rv + h, rh:rh + w].transpose(0, 2, 3, 1)
+
+
+def _make_bwd_kernel(p: int, u_slab: int, c: int, limbs: int):
+    def kernel(gslab_ref, bs_ref, bu_ref, out_ref):
+        def trunc(x):
+            return jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(x, jnp.uint32)
+                & jnp.uint32(0xFFFF0000), jnp.float32)
+
+        bs_t = bs_ref[0, 0, 0, 0]                   # (P,) rows on lanes
+        bs_b = bs_ref[0, 0, 0, 1]
+        bu_l = bu_ref[0, 0, 0, 0]
+        bu_r = bu_ref[0, 0, 0, 1]
+        uiota = jax.lax.broadcasted_iota(jnp.int32, (u_slab, p), 0)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (_S, p), 0)
+        # multi-hot column select ({0,1,2} where l == r at the border —
+        # matching the forward's double add)
+        colhot = ((uiota == bu_l[None, :]).astype(jnp.bfloat16)
+                  + (uiota == bu_r[None, :]).astype(jnp.bfloat16))
+        rowsel = ((riota == bs_t[None, :]).astype(jnp.float32)
+                  + (riota == bs_b[None, :]).astype(jnp.float32))
+
+        for cc in range(c):
+            g = gslab_ref[0, 0, 0, cc]              # (_S, u_slab) f32
+            resid = g
+            t = None
+            for l in range(limbs):
+                lv = trunc(resid) if l < limbs - 1 else resid
+                resid = resid - lv
+                d = jax.lax.dot_general(
+                    lv.astype(jnp.bfloat16), colhot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # (_S, P)
+                t = d if t is None else t + d
+            out_ref[0, 0, 0, cc] = jnp.sum(rowsel * t, axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("band", "tw", "rh", "limbs"))
+def scatter4_bwd_pallas(g, bs_t, bs_b, bu_l, bu_r,
+                        band: int = 16, tw: int = 112, rh: int = 32,
+                        limbs: int = 3):
+    """Transpose of the 4-neighbour scatter: per-pixel sum of ``g`` over its
+    4 target cells, as banded one-hot MXU gathers (the VJP of
+    ``scatter4_band_pallas``; replaces the chunked full-grid one-hot matmuls
+    of ``flow_projection._scatter4_transpose``, measured 5x+ slower).
+
+    Args:
+      g: (B, H, W, C) f32 cotangent on the TARGET grid.
+      bs_t, bs_b, bu_l, bu_r: (B, H, W) int32 target rows/cols per SOURCE
+        pixel (the forward's scatter indices, frame-clamped).
+
+    Returns:
+      (B, H, W, C) f32 per-source-pixel gathered sums — exact wherever every
+      pixel (contributing or not: the transpose reads for ALL pixels)
+      satisfies |bs_t - y| <= rv - 1 and |bu_l - x| <= rh - 1; the caller
+      lax.cond's to the XLA transpose otherwise.
+    """
+    b, h, w, c = g.shape
+    rv, u_slab = _bounds(band, tw, rh)
+    assert h % band == 0 and w % tw == 0, (h, w, band, tw)
+    nb, nj = h // band, w // tw
+    p = band * tw
+
+    # zero-padded target slabs around each (band, column tile): in-frame
+    # targets only, so zero pad regions can never be addressed in-bounds
+    gcf = g.transpose(0, 3, 1, 2).astype(jnp.float32)        # (B, C, H, W)
+    gpad = jnp.pad(gcf, ((0, 0), (0, 0), (rv, _S - band - rv), (rh, rh + 2)))
+    rows = jnp.stack([jax.lax.dynamic_slice_in_dim(gpad, b0 * band, _S,
+                                                   axis=2)
+                      for b0 in range(nb)], axis=1)
+    gslabs = jnp.stack([jax.lax.dynamic_slice_in_dim(rows, j * tw, u_slab,
+                                                     axis=4)
+                        for j in range(nj)], axis=2)   # (B,nb,nj,C,_S,u)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    b0 = (yy // band) * band
+    x0 = (xx // tw) * tw
+    sb_t = jnp.clip(bs_t + rv - b0, 0, _S - 1)
+    sb_b = jnp.clip(bs_b + rv - b0, 0, _S - 1)
+    su_l = jnp.clip(bu_l + rh - x0, 0, u_slab - 1)
+    su_r = jnp.clip(bu_r + rh - x0, 0, u_slab - 1)
+
+    def px_lanes(x, k):
+        return (x.reshape(b, nb, band, nj, tw, k)
+                .transpose(0, 1, 3, 5, 2, 4).reshape(b, nb, nj, k, p))
+
+    bs_pk = px_lanes(jnp.stack([sb_t, sb_b], axis=-1), 2)
+    bu_pk = px_lanes(jnp.stack([su_l, su_r], axis=-1), 2)
+
+    px_spec = lambda k: pl.BlockSpec((1, 1, 1, k, p),
+                                     lambda bi, i, j: (bi, i, j, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    slab_spec = pl.BlockSpec((1, 1, 1, c, _S, u_slab),
+                             lambda bi, i, j: (bi, i, j, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _make_bwd_kernel(p, u_slab, c, limbs),
+        grid=(b, nb, nj),
+        in_specs=[slab_spec, px_spec(2), px_spec(2)],
+        out_specs=px_spec(c),
+        out_shape=jax.ShapeDtypeStruct((b, nb, nj, c, p), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(gslabs, bs_pk, bu_pk)
+
+    return (out.reshape(b, nb, nj, c, band, tw)
+            .transpose(0, 1, 4, 2, 5, 3).reshape(b, h, w, c))
