@@ -504,6 +504,40 @@ def _dfp_bwd_2d(flow, depth_inv, cnt, out, g):
     return gflow, gdepth
 
 
+def _gather4_batched(field, iy_t, iy_b, ix_l, ix_r):
+    """Per-source-pixel sum of ``field`` over the 4 neighbour cells.
+    Dispatches to the banded Pallas gather on TPU (whole-call cond to the
+    take-based path when any pixel's target leaves the slab); XLA takes
+    otherwise."""
+    b, h, w, c = field.shape
+
+    def takes(field):
+        def one(field, iy_t, iy_b, ix_l, ix_r):
+            f2 = field.reshape(h * w, c)
+            acc = jnp.zeros((h, w, c), jnp.float32)
+            for lin in _four_neighbour_lin(ix_l, ix_r, iy_t, iy_b, w):
+                acc = acc + jnp.take(f2, lin, axis=0).reshape(h, w, c)
+            return acc
+        return jax.vmap(one)(field, iy_t, iy_b, ix_l, ix_r)
+
+    params = _band_scatter_params(h, w, c)
+    if params is None:
+        return takes(field)
+    from vfidkr_tpu.ops.pallas.projection_band_kernel import (
+        _bounds, scatter4_bwd_pallas)
+    band, tw, rh = params
+    rv, _ = _bounds(band, tw, rh)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    oversize = jnp.any((jnp.abs(iy_t - yy) > rv - 1)
+                       | (jnp.abs(ix_l - xx) > rh - 1))
+    return jax.lax.cond(
+        oversize, takes,
+        lambda f: scatter4_bwd_pallas(f, iy_t, iy_b, ix_l, ix_r,
+                                      band=band, tw=tw, rh=rh),
+        field)
+
+
 def _dfp_bwd(hole_fill, res, g):
     """Batched reference-exact backward
     (depthflowprojection_cuda_kernel.cu:242-340):
@@ -514,10 +548,33 @@ def _dfp_bwd(hole_fill, res, g):
     Note the reference's ``(f - out)`` term — true autodiff of the forward
     would give ``(f + out)``; we replicate the reference formula.  Hole-filled
     cells never receive gradient in the reference (fillhole only runs at
-    inference), matching this VJP which ignores the fill."""
+    inference), matching this VJP which ignores the fill.
+
+    Every term is a 4-neighbour sum of a per-CELL field, so the whole
+    backward is ONE 4-neighbour gather of the 3-channel field
+    ``[g_x/cnt, g_y/cnt, (g_x*out_x + g_y*out_y)/cnt]`` followed by
+    elementwise combination (replaces 12 per-neighbour ``jnp.take`` gathers;
+    on TPU the gather runs as the banded Pallas kernel)."""
     flow, depth_inv, cnt, out = res
-    return jax.vmap(_dfp_bwd_2d)(flow, depth_inv, cnt, out,
-                                 g.astype(jnp.float32))
+    g = g.astype(jnp.float32)
+    cn = jnp.maximum(cnt, 1e-30)[..., None]
+    a = g / cn                                           # (B, H, W, 2)
+    field = jnp.concatenate(
+        [a, jnp.sum(a * out, axis=-1, keepdims=True)], axis=-1)
+
+    def per_image(flow):
+        return _landing(flow)
+
+    fx, fy, valid, ix_l, ix_r, iy_t, iy_b = jax.vmap(per_image)(flow)
+    s = _gather4_batched(field, iy_t, iy_b, ix_l, ix_r)  # (B, H, W, 3)
+
+    validf = valid.astype(jnp.float32)
+    d = depth_inv.astype(jnp.float32)
+    gfx = -s[..., 0] * d * validf
+    gfy = -s[..., 1] * d * validf
+    gd = -(s[..., 0] * fx + s[..., 1] * fy - s[..., 2]) * validf
+    gflow = jnp.stack([gfx, gfy], axis=-1).astype(flow.dtype)
+    return gflow, gd.astype(depth_inv.dtype)
 
 
 _depth_flow_project_core.defvjp(_dfp_fwd, _dfp_bwd)
