@@ -83,68 +83,6 @@ def _window_geometry(image, flow, filter_size):
     return valid, iy + 1 - half, ix + 1 - half, alpha, beta
 
 
-def _filter_interpolate_2d_onehot(image, flow, filt, filter_size):
-    """Separable MXU approximation: the per-pixel window gather as two one-hot
-    matmuls (rows then columns) — dense contractions instead of TPU-hostile
-    gathers.
-
-    APPROXIMATE: the row index is evaluated at the *tap column* instead of the
-    output pixel (separable decomposition); results differ from the reference
-    only where the vertical flow component changes within the 4-px tap window.
-    Exact modes: impl="gather"/"block" (XLA) or impl="slab" (Pallas).
-    """
-    h, w, c = image.shape
-    fs = filter_size
-    half = fs // 2
-    pad_lo, pad_hi = half - 1, fs - half   # tap range [i - (half-1), i + (fs-half)]
-
-    valid, iy_t, ix_l, alpha, beta = _window_geometry(image, flow, filter_size)
-    in_dtype = image.dtype
-    image = image.astype(jnp.float32)
-
-    # ---- row taps: one one-hot over H, fs row-shifted copies share it.
-    # clamp(t, 0, h-1) for t in [-pad_lo, h-1+pad_hi] == reading an edge-padded
-    # image at t + pad_lo, so the tap clamp costs nothing here.
-    ipad = jnp.pad(image, ((pad_lo, pad_hi), (0, 0), (0, 0)), mode="edge")
-    base_v = iy_t + pad_lo                               # in [0, h-1]
-    vv = jax.lax.broadcasted_iota(jnp.int32, (h, w, h), 2)
-    onehot_v = (vv == base_v[..., None]).astype(jnp.float32)
-    # stack the fs row slices channel-wise -> single einsum
-    row_ops = jnp.concatenate([
-        jax.lax.dynamic_slice_in_dim(ipad, dj, h, axis=0)
-        for dj in range(fs)], axis=-1)                    # (h, w, fs*C)
-    rows = jnp.einsum("yxv,vxk->yxk", onehot_v, row_ops,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)  # (h, w, fs*C)
-
-    # ---- column taps on the row-gathered stack
-    rpad = jnp.pad(rows, ((0, 0), (pad_lo, pad_hi), (0, 0)), mode="edge")
-    base_u = ix_l + pad_lo
-    uu = jax.lax.broadcasted_iota(jnp.int32, (h, w, w), 2)
-    onehot_u = (uu == base_u[..., None]).astype(jnp.float32)
-    col_ops = jnp.concatenate([
-        jax.lax.dynamic_slice_in_dim(rpad, di, w, axis=1)
-        for di in range(fs)], axis=-1)                    # (h, w, fs*fs*C)
-    taps = jnp.einsum("yxu,yuk->yxk", onehot_u, col_ops,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)  # (h, w, fs*fs*C)
-    # layout: k = di * (fs*C) + dj * C + c
-    taps = taps.reshape(h, w, fs, fs, c)                   # (y, x, di, dj, c)
-
-    wx = jnp.stack([alpha if di >= half else 1.0 - alpha for di in range(fs)],
-                   axis=-1)                                # (h, w, fs)
-    wy = jnp.stack([beta if dj >= half else 1.0 - beta for dj in range(fs)],
-                   axis=-1)
-    kweights = filt.reshape(h, w, fs, fs)                  # (y, x, dj, di)
-    weight = kweights.transpose(0, 1, 3, 2) * wx[..., :, None] * wy[..., None, :]
-    out = jnp.einsum("yxij,yxijc->yxc", weight, taps,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-
-    fallback = jax.lax.stop_gradient(image)
-    return jnp.where(valid[..., None], out, fallback).astype(in_dtype)
-
-
 def _filter_interpolate_2d_block(image, flow, filt, filter_size):
     """Exact single-gather formulation: one ``lax.gather`` of (fs,fs,C) blocks
     from an edge-padded image (clamped taps == edge-padded reads), then a
@@ -203,9 +141,10 @@ def _filter_interpolate_slab(image, flow, filt, filter_size, band, tw,
     """Default TPU path: banded one-hot-matmul Pallas kernel (see
     ops/pallas/filter_bandmm_kernel.py) with a whole-call ``lax.cond``
     fallback to the exact XLA block path when any flow exceeds the slab
-    bounds — reference-exact for every input.  Backward reuses the block
-    formulation (identical math to filterinterpolation_cuda_kernel.cu
-    :2827-3125)."""
+    bounds — reference-exact for every input.  Backward runs the banded
+    Pallas backward kernel (ops/pallas/filter_bandmm_bwd_kernel.py) under
+    the same cond — identical math to filterinterpolation_cuda_kernel.cu
+    :2827-3125."""
     from vfidkr_tpu.ops.pallas.filter_bandmm_kernel import (
         _rv_for, filter_bandmm_pallas)
     fs = filter_size
@@ -714,9 +653,10 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
             for any f32 via 3 bf16 truncation limbs, lax.cond fallback),
             "slab8" (single-limb variant, exact for 8-bit-grid k/255
             frames — the eval drivers' input contract), "block" (exact,
-            one blocked lax.gather), "gather" (exact, per-tap gathers —
-            the oracle), or "separable" (fast MXU one-hot formulation —
-            approximate where vertical flow varies within the tap window).
+            one blocked lax.gather), or "gather" (exact, per-tap gathers —
+            the oracle).  (A round-1 approximate "separable" MXU
+            formulation was removed in round 5: every shipped path is
+            reference-exact.)
 
     Returns:
       ``(B, H, W, C)`` warped frame.  Matches
@@ -747,7 +687,6 @@ def filter_interpolate(image: jax.Array, flow: jax.Array, filt: jax.Array,
                                             *params,
                                             1 if impl == "slab8" else 3)
     fn = {
-        "separable": _filter_interpolate_2d_onehot,
         "gather": _filter_interpolate_2d,
         "block": _filter_interpolate_2d_block,
     }[impl]
