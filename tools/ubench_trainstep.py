@@ -111,7 +111,7 @@ def stage_scatter_bwd_only(_):
     return device_time_slope(jax.jit(step), g0, n1=10, n2=40)
 
 
-def stage_pwc(mode):
+def stage_pwc(mode, chunk=None):
     import jax
     import jax.numpy as jnp
     from vfidkr_tpu.models.pwcnet import PWCDCNet
@@ -120,7 +120,7 @@ def stage_pwc(mode):
     rng = np.random.RandomState(0)
     i0 = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
     i2 = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
-    model = PWCDCNet(batch_chunk=None)   # train graph: unchunked
+    model = PWCDCNet(batch_chunk=chunk)   # train default: unchunked
     params = jax.jit(model.init, static_argnames=("method",))(
         jax.random.PRNGKey(0), i0, i2, method="bidirectional")
 
@@ -199,6 +199,37 @@ def stage_rectify(mode):
     return device_time_slope(jax.jit(step), x0, n1=10, n2=40)
 
 
+def stage_conv1(mode):
+    """One 3x3 128->128 conv at the rectifier's shape — attributes the
+    conv-backward overhead (data grad vs weight grad vs fwd)."""
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.rand(B, H, W, 128), jnp.float32)
+    k0 = jnp.asarray(rng.rand(3, 3, 128, 128) * 0.05, jnp.float32)
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    if mode == "fwd":
+        def step(x):
+            return x * 0.999 + 1e-4 * conv(x, k0)
+    elif mode == "bwd_data":
+        def step(x):
+            g = jax.grad(lambda xx: jnp.mean(conv(xx, k0) ** 2))(x)
+            return x * 0.999 + 1e-4 * g
+    else:   # bwd_weight
+        def step(x):
+            gk = jax.grad(lambda kk: jnp.mean(conv(x, kk) ** 2))(k0)
+            return x * 0.999 + 1e-4 * jnp.sum(gk)
+
+    return device_time_slope(jax.jit(step), x0, n1=20, n2=80)
+
+
 def stage_step(_):
     """Full train_step (fwd+bwd+Adamax).  Compile-heavy: ~13+ min cold on
     this host; cached thereafter (enable_persistent_cache)."""
@@ -245,10 +276,15 @@ STAGES = {
     "scatter_bwd_only": lambda: stage_scatter_bwd_only(None),
     "pwc_fwd": lambda: stage_pwc("fwd"),
     "pwc_bwd": lambda: stage_pwc("bwd"),
+    "pwc_fwd_c4": lambda: stage_pwc("fwd", chunk=4),
+    "pwc_bwd_c4": lambda: stage_pwc("bwd", chunk=4),
     "mononet_fwd": lambda: stage_mononet("fwd"),
     "mononet_bwd": lambda: stage_mononet("bwd"),
     "rectify_fwd": lambda: stage_rectify("fwd"),
     "rectify_bwd": lambda: stage_rectify("bwd"),
+    "conv1_fwd": lambda: stage_conv1("fwd"),
+    "conv1_bwd_data": lambda: stage_conv1("bwd_data"),
+    "conv1_bwd_weight": lambda: stage_conv1("bwd_weight"),
     "step": lambda: stage_step(None),
 }
 
