@@ -94,12 +94,15 @@ def main():
 
     # training keeps the ModelConfig defaults: filter_impl="slab" (exact on
     # any f32 input) and f32 convs (the reference training precision).
-    # pwc_batch_chunk=None: the chunked-PWC eval win was measured on eval
-    # graphs only; under grad it would trace one PWC fwd+bwd subgraph per
-    # 2-pair chunk on an already >13-min serial compile (gradients are
-    # unaffected either way) — keep training unchunked until a train-side
-    # device measurement shows a win (tools/ubench_trainstep.py).
-    model = ModelConfig(net_name=args.net_name, pwc_batch_chunk=None).build()
+    # pwc_batch_chunk=None: measured round 5 — the chunked PWC BACKWARD is
+    # worse (91.5 vs 68.0 ms), so training stays unchunked.
+    # dense_impl="split": the PWC dense-block backward with concat buffers
+    # is the train step's biggest stage (59 ms); split-weight evaluation
+    # (identical MACs, f32-reassociation-identical) cuts it 2.5x
+    # (tools/ubench_trainstep.py pwc_bwd/pwc_bwd_split; step A/B in
+    # BASELINE.md).
+    model = ModelConfig(net_name=args.net_name, pwc_batch_chunk=None,
+                        dense_impl="split").build()
     train_paths, test_paths = vimeo90k_splits(args.dataset_path)
     train_ds = Vimeo90KDataset(args.dataset_path, train_paths,
                                args.batch_size, augment=True, seed=args.seed)

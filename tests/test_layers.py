@@ -92,3 +92,38 @@ def test_replication_pad_matches_torch(rng):
     got = np.asarray(layers.replication_pad(jnp.asarray(x), (3, 4, 1, 2)))
     want = F.pad(_nchw(x), (3, 4, 1, 2), mode="replicate")
     np.testing.assert_allclose(got, _nhwc(want), rtol=1e-6)
+
+
+def test_max_pool_2x2_backward_matches_torch_ties(rng):
+    """max_pool_2x2's backward (select_and_scatter first-max routing) must
+    match the reference torch MaxPool2d backward EXACTLY — including on tied
+    windows, which are common after ReLU (zeros).  Quantized inputs force
+    many ties.  (A hand-built elementwise first-max VJP measured neutral on
+    v5e, round 5 — the stock reduce_window lowering stays.)"""
+    import torch
+
+    for x in (rng.rand(2, 8, 10, 3).astype(np.float32),
+              np.round(rng.rand(2, 8, 10, 3).astype(np.float32) * 3) / 3,
+              np.zeros((1, 4, 4, 2), np.float32)):
+        g = rng.rand(*(x.shape[0], x.shape[1] // 2, x.shape[2] // 2,
+                       x.shape[3])).astype(np.float32)
+
+        def loss(xx):
+            return jnp.sum(layers.max_pool_2x2(xx) * jnp.asarray(g))
+
+        got = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+
+        xt = _nchw(x).requires_grad_(True)
+        out = F.max_pool2d(xt, 2)
+        out.backward(_nchw(g))
+        want = _nhwc(xt.grad)
+        np.testing.assert_array_equal(got, want)
+
+        # and against the reduce_window formulation jax lowers nn.max_pool to
+        def loss_rw(xx):
+            import flax.linen as nn
+            return jnp.sum(nn.max_pool(xx, (2, 2), strides=(2, 2))
+                           * jnp.asarray(g))
+
+        want_rw = np.asarray(jax.grad(loss_rw)(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, want_rw)

@@ -86,3 +86,28 @@ def test_ctx_param_selection():
         assert _ctx_pallas_params(250, 448, 196) is None     # h % band
     else:
         assert _ctx_pallas_params(256, 448, 196) is None
+
+
+def test_ctx_bounds_quad_gap_skip_exact(rng):
+    """Motion-boundary flows make the per-quarter row ranges disjoint: the
+    "quad" gap-skip bounds (round-5 default; measured 29.4 -> 17.1 ms on a
+    vertical split @v5e, tools/ubench_ctx_bounds.py) must stay bit-identical
+    to the round-3 single-interval "chunk" bounds — the skipped rows carry
+    zero weight for every pixel, so both modes sum the same taps."""
+    from vfidkr_tpu.ops.pallas.ctx_gather_kernel import ctx_gather_pallas
+
+    b, h, w, c = 1, 32, 64, 12
+    image = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
+    kw = jnp.asarray(rng.rand(b, h, w, 16), jnp.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    for fy in (np.where(xx < w // 2, 8.0, -8.0),      # vertical boundary
+               np.where(yy < h // 2, 8.0, -8.0),      # horizontal boundary
+               (rng.rand(h, w) * 16 - 8)):            # per-pixel random
+        base_v = np.clip(np.floor(yy + fy).astype(np.int32), -4, h + 4)
+        base_u = np.clip(np.floor(xx + 0 * fy).astype(np.int32), -4, w + 4)
+        bv = jnp.asarray(base_v[None], jnp.int32)
+        bu = jnp.asarray(base_u[None], jnp.int32)
+        kws = dict(band=16, tw=32, rv=10, rh=14, c_chunk=8)
+        want = ctx_gather_pallas(image, bv, bu, kw, bounds="chunk", **kws)
+        got = ctx_gather_pallas(image, bv, bu, kw, bounds="quad", **kws)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -111,7 +111,7 @@ def stage_scatter_bwd_only(_):
     return device_time_slope(jax.jit(step), g0, n1=10, n2=40)
 
 
-def stage_pwc(mode, chunk=None):
+def stage_pwc(mode, chunk=None, dense="concat"):
     import jax
     import jax.numpy as jnp
     from vfidkr_tpu.models.pwcnet import PWCDCNet
@@ -120,7 +120,8 @@ def stage_pwc(mode, chunk=None):
     rng = np.random.RandomState(0)
     i0 = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
     i2 = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
-    model = PWCDCNet(batch_chunk=chunk)   # train default: unchunked
+    model = PWCDCNet(batch_chunk=chunk,   # train default: unchunked
+                     dense_impl=dense)
     params = jax.jit(model.init, static_argnames=("method",))(
         jax.random.PRNGKey(0), i0, i2, method="bidirectional")
 
@@ -140,11 +141,75 @@ def stage_pwc(mode, chunk=None):
     return device_time_slope(jax.jit(step), i0, n1=10, n2=40)
 
 
-def stage_mononet(mode):
+def stage_pwc_part(mode, method="pyramid_only", upto=None):
+    """Bisect the PWC backward: pyramid alone, then decode stopped at
+    successive levels (6 = coarsest decode only .. 2 = full)."""
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.models.pwcnet import PWCDCNet
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    i0 = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
+    i2 = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
+    model = PWCDCNet(batch_chunk=None)
+    kw = {} if upto is None else {"upto": upto}
+    params = jax.jit(model.init,
+                     static_argnames=("method", "upto"))(
+        jax.random.PRNGKey(0), i0, i2, method=method, **kw)
+
+    def fwd(p, x):
+        out = model.apply(p, x, i2, method=method, **kw)
+        return sum(jnp.mean(t ** 2) for t in jax.tree_util.tree_leaves(out))
+
+    if mode == "fwd":
+        def step(x):
+            return x * 0.999 + 1e-4 * fwd(params, x)
+    else:
+        def step(x):
+            l, (gp, gx) = jax.value_and_grad(fwd, argnums=(0, 1))(params, x)
+            gsum = sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(gp))
+            return x * 0.999 + 1e-4 * gx + 1e-9 * gsum
+
+    return device_time_slope(jax.jit(step), i0, n1=10, n2=40)
+
+
+def stage_corr(mode, n=2 * B, hh=64, ww=112, c=32):
+    """The correlation cost volume alone at the level-2 decode shape (the
+    largest corr call in the train graph)."""
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.ops.correlation import correlation_cost_volume
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    f1 = jnp.asarray(rng.rand(n, hh, ww, c), jnp.float32)
+    f2 = jnp.asarray(rng.rand(n, hh, ww, c), jnp.float32)
+
+    def fn(a):
+        return jnp.mean(correlation_cost_volume(a, f2) ** 2)
+
+    if mode == "fwd":
+        def step(a):
+            return a * 0.999 + 1e-4 * fn(a)
+    else:
+        def step(a):
+            g = jax.grad(fn)(a)
+            return a * 0.999 + 1e-4 * g
+
+    return device_time_slope(jax.jit(step), f1, n1=10, n2=40)
+
+
+def stage_mononet(mode, pool="custom"):
     import jax
     import jax.numpy as jnp
     from vfidkr_tpu.models.mononet import BranchHead, MonoNet5
     from vfidkr_tpu.utils.profiling import device_time_slope
+
+    if pool == "reduce_window":        # pre-round-5 nn.max_pool A/B arm
+        import flax.linen as nn
+        from vfidkr_tpu.models import mononet as _mn
+        _mn.max_pool_2x2 = lambda x: nn.max_pool(x, (2, 2), strides=(2, 2))
 
     rng = np.random.RandomState(0)
     x0 = jnp.asarray(rng.rand(B, H, W, 6), jnp.float32)
@@ -199,25 +264,64 @@ def stage_rectify(mode):
     return device_time_slope(jax.jit(step), x0, n1=10, n2=40)
 
 
-def stage_conv1(mode):
-    """One 3x3 128->128 conv at the rectifier's shape — attributes the
-    conv-backward overhead (data grad vs weight grad vs fwd)."""
+def stage_depth(mode):
+    """MegaDepth hourglass at the train shape (2B images — DAIN runs it on
+    the concatenated frame pair; frozen LR group but still differentiated
+    for input grads, so its bwd is in the step)."""
+    import jax
+    import jax.numpy as jnp
+    from vfidkr_tpu.models.megadepth import MegaDepthHourglass
+    from vfidkr_tpu.utils.profiling import device_time_slope
+
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.rand(2 * B, H, W, 3), jnp.float32)
+    m = MegaDepthHourglass()
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x0)
+
+    def fwd(p, x):
+        return jnp.mean(m.apply(p, x) ** 2)
+
+    if mode == "fwd":
+        def step(x):
+            return x * 0.999 + 1e-4 * fwd(params, x)
+    elif mode == "bwd_input":
+        # frozen-group semantics: params get no grad (stop_gradient), only
+        # the input grad flows — this is what the train step actually pays
+        def step(x):
+            g = jax.grad(lambda xx: fwd(jax.lax.stop_gradient(params),
+                                        xx))(x)
+            return x * 0.999 + 1e-4 * g
+    else:
+        def step(x):
+            l, (gp, gx) = jax.value_and_grad(fwd, argnums=(0, 1))(params, x)
+            gsum = sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(gp))
+            return x * 0.999 + 1e-4 * gx + 1e-9 * gsum
+
+    return device_time_slope(jax.jit(step), x0, n1=5, n2=20)
+
+
+def stage_conv1(mode, ks=3, cin=128, cout=128):
+    """One conv at the rectifier's shape — attributes the conv-backward
+    overhead (data grad vs weight grad vs fwd).  ks/cin/cout vary the
+    kernel: the rectifier's 7x7 45->128 head is the suspect for its
+    5.3x bwd/fwd ratio."""
     import jax
     import jax.numpy as jnp
     from vfidkr_tpu.utils.profiling import device_time_slope
 
     rng = np.random.RandomState(0)
-    x0 = jnp.asarray(rng.rand(B, H, W, 128), jnp.float32)
-    k0 = jnp.asarray(rng.rand(3, 3, 128, 128) * 0.05, jnp.float32)
+    x0 = jnp.asarray(rng.rand(B, H, W, cin), jnp.float32)
+    k0 = jnp.asarray(rng.rand(ks, ks, cin, cout) * 0.05, jnp.float32)
+    p = ks // 2
 
     def conv(x, k):
         return jax.lax.conv_general_dilated(
-            x, k, (1, 1), ((1, 1), (1, 1)),
+            x, k, (1, 1), ((p, p), (p, p)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     if mode == "fwd":
         def step(x):
-            return x * 0.999 + 1e-4 * conv(x, k0)
+            return x * 0.999 + 1e-4 * jnp.mean(conv(x, k0))
     elif mode == "bwd_data":
         def step(x):
             g = jax.grad(lambda xx: jnp.mean(conv(xx, k0) ** 2))(x)
@@ -230,23 +334,35 @@ def stage_conv1(mode):
     return device_time_slope(jax.jit(step), x0, n1=20, n2=80)
 
 
-def stage_step(_):
+def stage_step(_, xla_bwd=False, freeze=True, dense="concat"):
     """Full train_step (fwd+bwd+Adamax).  Compile-heavy: ~13+ min cold on
-    this host; cached thereafter (enable_persistent_cache)."""
+    this host; cached thereafter (enable_persistent_cache).
+
+    xla_bwd: force the pre-round-5 XLA op backwards (VFIDKR_XLA_BWD gate,
+    read at trace time).  freeze: stop_gradient the frozen LR groups so
+    their dead backward is DCE'd (train_step freeze_dead_backward)."""
+    import os
     import jax
     import jax.numpy as jnp
     from vfidkr_tpu.config import ModelConfig
     from vfidkr_tpu.training import TrainConfig, create_train_state, train_step
     from vfidkr_tpu.utils.profiling import device_time
 
+    if xla_bwd:
+        os.environ["VFIDKR_XLA_BWD"] = "1"
+    else:
+        os.environ.pop("VFIDKR_XLA_BWD", None)
+
     rng = np.random.RandomState(0)
     batch = {k: jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
              for k in ("x0", "x1", "y")}
     config = TrainConfig()
-    model = ModelConfig(net_name="DAIN", pwc_batch_chunk=None).build()
+    model = ModelConfig(net_name="DAIN", pwc_batch_chunk=None,
+                        dense_impl=dense).build()
     state, tx = create_train_state(model, jax.random.PRNGKey(0), batch,
                                    config)
-    jit_train = jax.jit(lambda s, b: train_step(model, tx, s, b, config))
+    jit_train = jax.jit(lambda s, b: train_step(
+        model, tx, s, b, config, freeze_dead_backward=freeze))
 
     import time
     t0 = time.time()
@@ -260,6 +376,21 @@ def stage_step(_):
 
     # feedback through the state pytree keeps every iteration live
     return device_time(step, state, iters=20)
+
+
+def stage_step_ab():
+    """ONE-process A/B of the train step: round-4 op backwards + dead
+    frozen-group backward vs the round-5 Pallas backwards vs + frozen-group
+    DCE (the shipped configuration)."""
+    out = {}
+    for tag, kw in (("step_r4_xla_bwd", dict(xla_bwd=True, freeze=False)),
+                    ("step_pallas_bwd", dict(xla_bwd=False, freeze=False)),
+                    ("step_pallas_frozen_dce", dict(xla_bwd=False,
+                                                    freeze=True))):
+        ms = stage_step(None, **kw) * 1e3
+        out[tag] = round(ms, 3)
+        print(f"{tag:>24}: {ms:8.3f} ms", file=sys.stderr, flush=True)
+    return out
 
 
 STAGES = {
@@ -278,23 +409,45 @@ STAGES = {
     "pwc_bwd": lambda: stage_pwc("bwd"),
     "pwc_fwd_c4": lambda: stage_pwc("fwd", chunk=4),
     "pwc_bwd_c4": lambda: stage_pwc("bwd", chunk=4),
+    "pwc_pyr_fwd": lambda: stage_pwc_part("fwd"),
+    "pwc_pyr_bwd": lambda: stage_pwc_part("bwd"),
+    "pwc_upto6_bwd": lambda: stage_pwc_part("bwd", "decode_upto", 6),
+    "pwc_upto4_bwd": lambda: stage_pwc_part("bwd", "decode_upto", 4),
+    "pwc_upto2_bwd": lambda: stage_pwc_part("bwd", "decode_upto", 2),
+    "corr_fwd": lambda: stage_corr("fwd"),
+    "corr_bwd": lambda: stage_corr("bwd"),
+    "pwc_bwd_split": lambda: stage_pwc("bwd", dense="split"),
+    "conv7_fwd": lambda: stage_conv1("fwd", ks=7, cin=45),
+    "conv7_bwd_data": lambda: stage_conv1("bwd_data", ks=7, cin=45),
+    "conv7_bwd_weight": lambda: stage_conv1("bwd_weight", ks=7, cin=45),
     "mononet_fwd": lambda: stage_mononet("fwd"),
     "mononet_bwd": lambda: stage_mononet("bwd"),
+    "mononet_bwd_rw": lambda: stage_mononet("bwd", pool="reduce_window"),
     "rectify_fwd": lambda: stage_rectify("fwd"),
     "rectify_bwd": lambda: stage_rectify("bwd"),
     "conv1_fwd": lambda: stage_conv1("fwd"),
     "conv1_bwd_data": lambda: stage_conv1("bwd_data"),
     "conv1_bwd_weight": lambda: stage_conv1("bwd_weight"),
-    "step": lambda: stage_step(None),
+    "depth_fwd": lambda: stage_depth("fwd"),
+    "depth_bwd": lambda: stage_depth("bwd"),
+    "depth_bwd_input": lambda: stage_depth("bwd_input"),
+    "step": lambda: stage_step(None),                      # shipped config
+    "step_nofreeze": lambda: stage_step(None, freeze=False),
+    "step_xlabwd": lambda: stage_step(None, xla_bwd=True, freeze=False),
+    "step_split": lambda: stage_step(None, dense="split"),   # train driver
 }
 
 
 def main():
     from vfidkr_tpu.utils import enable_persistent_cache
     enable_persistent_cache()
-    names = sys.argv[1:] or [k for k in STAGES if k != "step"]
+    names = sys.argv[1:] or [k for k in STAGES
+                             if k != "step" and not k.startswith("depth")]
     out = {}
     for name in names:
+        if name == "step_ab":
+            out.update(stage_step_ab())
+            continue
         ms = STAGES[name]() * 1e3
         out[name] = round(ms, 3)
         print(f"{name:>18}: {ms:8.3f} ms", file=sys.stderr)

@@ -39,13 +39,20 @@ class ModelConfig:
     pwc_batch_chunk: Optional[int] = 4   # cap PWC's internal conv batch
                                      # (measured eval win at B=4; training
                                      # drivers pass None — see apps/train.py)
+    dense_impl: str = "concat"       # PWC dense-block evaluation; training
+                                     # drivers pass "split": its BACKWARD is
+                                     # 2.5x faster (no concat-grad buffers,
+                                     # tools/ubench_trainstep.py round 5);
+                                     # eval keeps the reference-shaped
+                                     # concat (fwd within noise)
 
     def build(self):
         from vfidkr_tpu.models import build_model
         kwargs = dict(channel=self.channels, filter_size=self.filter_size,
                       timestep=self.time_step, filter_impl=self.filter_impl,
                       compute_dtype=self.compute_dtype,
-                      pwc_batch_chunk=self.pwc_batch_chunk)
+                      pwc_batch_chunk=self.pwc_batch_chunk,
+                      dense_impl=self.dense_impl)
         if self.net_name == "DAIN_slowmotion":
             kwargs["depth_impl"] = self.depth_impl
             kwargs["steps_impl"] = self.steps_impl

@@ -201,6 +201,11 @@ class ConvTranspose(nn.Module):
 
 
 def max_pool_2x2(x):
+    """Torch ``nn.MaxPool2d(2)``.  The reduce_window VJP (select_and_scatter,
+    first-max tie routing) matches the torch backward exactly — pinned incl.
+    ties in tests/test_layers.py; a hand-built elementwise first-max VJP
+    measured NEUTRAL on v5e (tools/ubench_trainstep.py mononet_bwd_rw,
+    round 5), so the stock lowering stays."""
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 

@@ -411,6 +411,12 @@ def _fi_slab_bwd(filter_size, band, tw, rh, limbs, res, g):
     fs = filter_size
     pad_lo = fs // 2 - 1
 
+    # measurement switch: force the pre-round-5 XLA backward (blocked-gather
+    # vjp) for one-session A/Bs of the banded Pallas backward
+    import os
+    if os.environ.get("VFIDKR_XLA_BWD"):
+        return _fi_block_vjp(image, flow, filt, filter_size, g)
+
     # recompute the forward's branch flag so the gradient matches the branch
     # that actually ran (oversize flows and — for slab8 — off-grid inputs
     # took the exact XLA path)

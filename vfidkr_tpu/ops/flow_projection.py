@@ -213,7 +213,10 @@ def _scatter4_bwd(res, g):
     iy_t, iy_b, ix_l, ix_r = res
     zero_int = lambda x: _np.zeros(x.shape, jax.dtypes.float0)
     b, h, w = iy_t.shape
+    import os
     params = _band_scatter_params(h, w, g.shape[-1])
+    if os.environ.get("VFIDKR_XLA_BWD"):   # A/B switch, see filter op
+        params = None
     if params is None:
         dvals = jax.vmap(_scatter4_transpose)(iy_t, iy_b, ix_l, ix_r, g)
     else:
@@ -520,8 +523,9 @@ def _gather4_batched(field, iy_t, iy_b, ix_l, ix_r):
             return acc
         return jax.vmap(one)(field, iy_t, iy_b, ix_l, ix_r)
 
+    import os
     params = _band_scatter_params(h, w, c)
-    if params is None:
+    if params is None or os.environ.get("VFIDKR_XLA_BWD"):
         return takes(field)
     from vfidkr_tpu.ops.pallas.projection_band_kernel import (
         _bounds, scatter4_bwd_pallas)

@@ -20,10 +20,12 @@ per 8-channel octet is constant:
   indexed with ``clip(r - bs, -1, 4) + 1`` — rows outside the pixel's 4-row
   window select the zero rows, so no masking ladder over slab rows is
   needed;
-* the row loop runs over **per-chunk dynamic bounds** ``[r_lo, r_hi)``
-  (min/max of ``bs`` over the 128-pixel chunk, scalar-read from SMEM), so
-  cost scales with the tile's actual vertical flow spread, not the static
-  bound.
+* the row loop runs over **per-chunk dynamic bounds** (scalar-read from
+  SMEM), so cost scales with the tile's actual vertical flow spread, not
+  the static bound; with ``bounds="quad"`` (round-5 default) the bounds are
+  up to 4 disjoint intervals swept from per-32-px quarter ranges, so a
+  motion boundary's two flow clusters don't force iteration over the dead
+  rows between them.
 
 Mosaic constraints honoured (empirically mapped round 3, tools/ubench_pallas
 E7): ``dynamic_gather`` along sublanes requires the table to fit ONE vreg on
@@ -117,8 +119,7 @@ def _make_kernel(nj: int, nchunk: int, s8: int, c_chunk: int, band: int,
             idx_g = [jnp.broadcast_to(ints_ref[0, 0, 0, 1:2, px] + di,
                                       (8, _PC)) for di in range(_FS)]
 
-            r_lo = rb_ref[bi, ti, j, 2 * ch]
-            r_hi = rb_ref[bi, ti, j, 2 * ch + 1]
+            niv = rb_ref.shape[-1] // (2 * nchunk)   # intervals per chunk
 
             def body(r, accs, bs=bs, tables=tables, idx_g=idx_g):
                 idx_w = jnp.clip(r - bs, -1, _FS) + 1        # (8, PC)
@@ -135,9 +136,15 @@ def _make_kernel(nj: int, nchunk: int, s8: int, c_chunk: int, band: int,
                 return tuple(out)
 
             z = jnp.zeros((8, _PC), jnp.float32)
-            init = tuple(tuple(z for _ in range(_FS))
+            accs = tuple(tuple(z for _ in range(_FS))
                          for _ in range(noct))
-            accs = jax.lax.fori_loop(r_lo, r_hi, body, init)
+            # chained fori_loops over the chunk's disjoint row intervals
+            # (gap-skip: rows between flow clusters are never touched);
+            # merged-empty intervals have lo == hi and cost one loop setup
+            for k in range(niv):
+                r_lo = rb_ref[bi, ti, j, 2 * niv * ch + 2 * k]
+                r_hi = rb_ref[bi, ti, j, 2 * niv * ch + 2 * k + 1]
+                accs = jax.lax.fori_loop(r_lo, r_hi, body, accs)
 
             for oc in range(noct):
                 total = ((accs[oc][0] + accs[oc][1])
@@ -148,10 +155,11 @@ def _make_kernel(nj: int, nchunk: int, s8: int, c_chunk: int, band: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("band", "tw", "rv", "rh", "c_chunk"))
+                   static_argnames=("band", "tw", "rv", "rh", "c_chunk",
+                                    "bounds"))
 def ctx_gather_pallas(image, base_v, base_u, kw, band: int = 64,
                       tw: int = 64, rv: int = 20, rh: int = 30,
-                      c_chunk: int = 40):
+                      c_chunk: int = 40, bounds: str = "quad"):
     """Big-C banded filter-interpolation forward (valid-branch weighted sums
     only; the caller applies the out-of-range fallback and the flow-bound
     cond — see ops/filter_interpolation.py).
@@ -172,6 +180,11 @@ def ctx_gather_pallas(image, base_v, base_u, kw, band: int = 64,
               path).
       c_chunk: channels per grid step (multiple of 8; C padded up to a
               multiple of it).
+      bounds: row-loop bound granularity — "chunk": one [min, max+fs)
+              interval per 128-px chunk (round-3 behaviour); "quad"
+              (default): <= 4 disjoint intervals merged from per-32-px
+              quarter bounds, skipping dead rows between flow clusters
+              (exact either way; identical iteration count on smooth flows).
 
     Returns:
       (B, H, W, C) f32 weighted window sums.
@@ -220,8 +233,36 @@ def ctx_gather_pallas(image, base_v, base_u, kw, band: int = 64,
     kw_t = tile_px(kw, fs * fs, jnp.float32)
 
     bs_ch = ints[:, :, :, 0].reshape(b, nb, nj, nchunk, _PC)
-    rb = jnp.stack([bs_ch.min(-1), bs_ch.max(-1) + fs], axis=-1)
-    rb = rb.reshape(b, nb, nj, 2 * nchunk).astype(jnp.int32)
+    if bounds == "chunk":
+        rb = jnp.stack([bs_ch.min(-1), bs_ch.max(-1) + fs], axis=-1)
+        rb = rb.reshape(b, nb, nj, 2 * nchunk).astype(jnp.int32)
+    elif bounds == "quad":
+        # gap-skip bounds: per-quarter (32-px lane groups — for tw=64 the
+        # 2x2 row/column-half quadrants) [lo, hi) ranges, sorted and swept
+        # into <= 4 disjoint intervals per chunk.  A motion boundary of
+        # either orientation splits the chunk's pixels into flow clusters;
+        # the row loop then skips the dead rows between them.  On smooth
+        # flows the quarters' ranges overlap and merge back into one
+        # interval — same iteration count as "chunk".
+        q = bs_ch.reshape(b, nb, nj, nchunk, 4, _PC // 4)
+        lo, hi = q.min(-1), q.max(-1) + fs            # (..., nchunk, 4)
+        order = jnp.argsort(lo, axis=-1)
+        lo = jnp.take_along_axis(lo, order, axis=-1)
+        hi = jnp.take_along_axis(hi, order, axis=-1)
+        cm = jax.lax.associative_scan(jnp.maximum, hi, axis=-1)   # cummax
+        brk = jnp.concatenate([jnp.ones_like(lo[..., :1], bool),
+                               lo[..., 1:] > cm[..., :-1]], axis=-1)
+        seg = jnp.cumsum(brk, axis=-1) - 1            # segment id, in [0, 3]
+        onek = seg[..., None] == jnp.arange(4)        # (..., 4 q, 4 k)
+        lo_k = jnp.sum(jnp.where(brk[..., None] & onek, lo[..., None], 0),
+                       axis=-2)
+        hi_k = jnp.max(jnp.where(onek, cm[..., None], 0), axis=-2)
+        # absent segments get lo_k == hi_k == 0: an empty interval the
+        # kernel's fori_loop skips at one loop-setup's cost
+        rb = jnp.stack([lo_k, hi_k], axis=-1)
+        rb = rb.reshape(b, nb, nj, 8 * nchunk).astype(jnp.int32)
+    else:
+        raise ValueError(f"bounds={bounds!r}")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

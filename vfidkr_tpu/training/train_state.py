@@ -148,13 +148,32 @@ def _model_losses(model, variables, batch, config: TrainConfig, train,
     return total, aux
 
 
-def train_step(model, tx, state: TrainState, batch, config: TrainConfig):
+def train_step(model, tx, state: TrainState, batch, config: TrainConfig,
+               freeze_dead_backward: bool = True):
     """One optimizer step (train.py:178-207). Pure; jit/shard outside."""
     has_bn = bool(state.batch_stats)
     mutable = ["batch_stats"] if has_bn else False
 
     def loss_fn(params):
-        variables = {"params": params}
+        # frozen groups (depth/ctx/occ — reference excludes them from the
+        # optimizer, train.py:65-77) enter as stop_gradient so their dead
+        # backward (~88 ms of MegaDepth input-grads alone at B=3 @256x448)
+        # can never be computed.  Measured NEUTRAL on v5e (round-5 one-
+        # process A/B, tools/ubench_trainstep.py step/step_nofreeze: 176.8
+        # vs 176.8 ms) because XLA already DCEs the frozen grads through
+        # optax.set_to_zero inside the same jit — the stop_gradient makes
+        # that guarantee explicit instead of relying on whole-graph DCE
+        # (e.g. if grads are ever returned, logged, or the optimizer update
+        # leaves the jit).  Updates are bit-identical; grad parity for every
+        # group lives in tests/test_full_graph_backward.py (which
+        # differentiates model.apply directly, without this freeze).
+        fparams = params
+        if freeze_dead_backward:
+            fparams = {k: (jax.tree_util.tree_map(jax.lax.stop_gradient, v)
+                           if _GROUP_OF_MODULE.get(k, "frozen") == "frozen"
+                           else v)
+                       for k, v in params.items()}
+        variables = {"params": fparams}
         if has_bn:
             variables["batch_stats"] = state.batch_stats
         return _model_losses(model, variables, batch, config, True, mutable)
